@@ -1,0 +1,153 @@
+"""Dotted-path column helpers — the columnar analogue of Beats' MapStr.
+
+The reference mutates row documents in place with dotted-path resolution
+(common.MapStr: mapFind at libbeat/common/mapstr.go:444-482, Put/GetValue/
+Delete at mapstr.go:124-201, AddTags at mapstr.go:377-412). Here a "path"
+addresses nested StructType columns and every "mutation" is a projection the
+optimizer can see through: set = struct rebuild via Column.withField, delete
+= Column.dropFields, tags = array_union. All plan-time; nothing per-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+def split_path(path: str) -> list[str]:
+    return path.split(".")
+
+
+def _quote(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def col_path(path: str) -> Column:
+    """Column reference for a dotted path (each segment backtick-quoted)."""
+    return F.col(".".join(_quote(p) for p in split_path(path)))
+
+
+def has_path(schema: T.StructType, path: str) -> bool:
+    """True if the dotted path resolves to a field in the schema."""
+    cur: T.DataType = schema
+    for part in split_path(path):
+        if not isinstance(cur, T.StructType) or part not in cur.fieldNames():
+            return False
+        cur = cur[part].dataType
+    return True
+
+
+def path_type(schema: T.StructType, path: str) -> T.DataType | None:
+    cur: T.DataType = schema
+    for part in split_path(path):
+        if not isinstance(cur, T.StructType) or part not in cur.fieldNames():
+            return None
+        cur = cur[part].dataType
+    return cur
+
+
+def get_path(df: DataFrame, path: str, default: Column | None = None) -> Column:
+    """Missing-safe read: resolves to NULL (or ``default``) if absent."""
+    if has_path(df.schema, path):
+        return col_path(path)
+    return default if default is not None else F.lit(None)
+
+
+def _fresh_struct(parts: list[str], value: Column) -> Column:
+    out = value
+    for p in reversed(parts):
+        out = F.struct(out.alias(p))
+    return out
+
+
+def _set_nested(parent: Column, parent_type: T.StructType, parts: list[str], value: Column) -> Column:
+    name = parts[0]
+    if len(parts) == 1:
+        return parent.withField(_quote(name), value)
+    child_t = parent_type[name].dataType if name in parent_type.fieldNames() else None
+    if isinstance(child_t, T.StructType):
+        return parent.withField(
+            _quote(name), _set_nested(parent.getField(name), child_t, parts[1:], value)
+        )
+    # child missing (or a scalar being overwritten): build the chain fresh,
+    # matching MapStr.Put which creates intermediate maps (mapstr.go:462-478).
+    return parent.withField(_quote(name), _fresh_struct(parts[1:], value))
+
+
+def with_path(df: DataFrame, path: str, value: Column) -> DataFrame:
+    """Set/overwrite a (possibly nested) field; creates intermediates."""
+    parts = split_path(path)
+    root = parts[0]
+    if len(parts) == 1:
+        return df.withColumn(root, value)
+    if root in df.schema.fieldNames():
+        root_t = df.schema[root].dataType
+        if isinstance(root_t, T.StructType):
+            return df.withColumn(root, _set_nested(F.col(_quote(root)), root_t, parts[1:], value))
+        # scalar root being turned into an object — MapStr.Put would error;
+        # we overwrite (documented divergence, keeps the plan total).
+    return df.withColumn(root, _fresh_struct(parts[1:], value))
+
+
+def drop_path(df: DataFrame, path: str) -> DataFrame:
+    """Delete a field if present (no-op when missing, like Delete with
+    ignore_missing)."""
+    if not has_path(df.schema, path):
+        return df
+    parts = split_path(path)
+    if len(parts) == 1:
+        return df.drop(parts[0])
+    root = parts[0]
+    nested = ".".join(_quote(p) for p in parts[1:])
+    new_root = F.col(_quote(root)).dropFields(nested)
+    # if the struct would become empty, drop the whole root column
+    root_t = path_type(df.schema, root)
+    if isinstance(root_t, T.StructType) and len(parts) == 2 and len(root_t.fields) == 1:
+        return df.drop(root)
+    return df.withColumn(root, new_root)
+
+
+def rename_path(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Move a field (actions/rename.go:75 renameField = copy + delete)."""
+    df = with_path(df, dst, get_path(df, src))
+    return drop_path(df, src)
+
+
+def tags_expr(df: DataFrame, tags: list[str], target: str = "tags") -> Column:
+    """Expression appending tags to an array field, creating it if needed
+    (MapStr.AddTagsWithKey, mapstr.go:390-412; de-dup preserving order is
+    NOT done by the reference, so plain concat)."""
+    existing = get_path(df, target)
+    existing_t = path_type(df.schema, target)
+    if isinstance(existing_t, T.ArrayType):
+        base = F.coalesce(existing, F.array().cast("array<string>"))
+    elif isinstance(existing_t, T.StringType):
+        # reference wraps a scalar string into an array (mapstr.go:399-403)
+        base = F.when(existing.isNull(), F.array().cast("array<string>")).otherwise(F.array(existing))
+    else:
+        base = F.array().cast("array<string>")
+    return F.concat(base, F.array(*[F.lit(t) for t in tags]))
+
+
+def add_tags(df: DataFrame, tags: list[str], target: str = "tags") -> DataFrame:
+    return with_path(df, target, tags_expr(df, tags, target))
+
+
+def append_flag(df: DataFrame, flag: str, cond: Column | None = None,
+                path: str = "log.flags") -> DataFrame:
+    """Append a value to log.flags (beat.FlagField semantics), optionally
+    only on rows matching ``cond``; used for *_parsing_error / truncated."""
+    existing = get_path(df, path)
+    existing_t = path_type(df.schema, path)
+    if isinstance(existing_t, T.ArrayType):
+        base = F.coalesce(existing, F.array().cast("array<string>"))
+    else:
+        base = F.array().cast("array<string>")
+    appended = F.array_union(base, F.array(F.lit(flag)))
+    if cond is not None:
+        new_val = F.when(cond, appended).otherwise(
+            existing if existing_t is not None else F.lit(None).cast("array<string>")
+        )
+    else:
+        new_val = appended
+    return with_path(df, path, new_val)

@@ -1,0 +1,133 @@
+"""Grok-style regex parsing, pure JVM path.
+
+Beats itself delegates grok to ES ingest pipelines
+(filebeat/module/*/*/ingest/*.json); the in-process regex machinery is
+match.Matcher (libbeat/common/match/matcher.go:59-109). We expose a grok
+layer directly: a pattern dictionary expands ``%{NAME:field}`` references to
+a plain regex at plan time, and each named capture becomes one
+``regexp_extract`` — fully codegen'd by Catalyst (regex compiled once per
+task on the JVM), zero Python. Failure rows get ``grok_parsing_error`` in
+``log.flags``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from beats_spark.event import append_flag, get_path, has_path
+from beats_spark.processors.base import Stage, register
+
+# A small built-in pattern library (public grok idiom); users can extend via
+# the ``pattern_definitions`` config key.
+BUILTIN_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}",
+    "HOSTNAME": r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?",
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "LOGLEVEL": r"(?:[Tt]race|TRACE|[Dd]ebug|DEBUG|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Ff]atal|FATAL)",
+    "QUOTEDSTRING": r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'',
+    "PATH": r"(?:/[\w.-]+)+",
+    "SYSLOGTIMESTAMP": r"[A-Z][a-z]{2} +\d{1,2} \d{2}:\d{2}:\d{2}",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")
+
+_GROK_TYPES = {"int": "bigint", "long": "bigint", "float": "double", "double": "double"}
+
+
+def expand_grok(expr: str, definitions: dict[str, str] | None = None,
+                _depth: int = 0) -> tuple[str, list[tuple[str, str]]]:
+    """Expand %{NAME:field:type} refs → plain regex with numbered groups.
+
+    Returns (regex, [(field, type), ...]) in group order. Unnamed refs become
+    non-capturing. Named groups are emitted as plain groups so the field
+    list maps group index → output field.
+    """
+    if _depth > 10:
+        raise ValueError("grok: pattern recursion too deep")
+    defs = {**BUILTIN_PATTERNS, **(definitions or {})}
+    fields: list[tuple[str, str]] = []
+
+    out: list[str] = []
+    pos = 0
+    for m in _GROK_REF.finditer(expr):
+        out.append(expr[pos : m.start()])
+        name, field, typ = m.group(1), m.group(2), m.group(3)
+        if name not in defs:
+            raise ValueError(f"grok: unknown pattern %{{{name}}}")
+        sub, sub_fields = expand_grok(defs[name], definitions, _depth + 1)
+        if field:
+            fields.append((field, typ or ""))
+            out.append(f"({sub})")
+            fields.extend(sub_fields)
+        else:
+            # drop inner captures of unnamed refs
+            if sub_fields:
+                raise ValueError(f"grok: unnamed ref %{{{name}}} has named sub-captures")
+            out.append(f"(?:{sub})")
+        pos = m.end()
+    out.append(expr[pos:])
+    return "".join(out), fields
+
+
+@register("grok")
+def grok(cfg: dict[str, Any]) -> Stage:
+    """Config: ``pattern`` (grok expression), ``field`` (default message),
+    ``target_prefix`` (default "" = root), ``pattern_definitions``,
+    ``anchor`` (default True: full-line match like ES ingest grok)."""
+    pattern = cfg["pattern"]
+    src = cfg.get("field", "message")
+    target = cfg.get("target_prefix", "")
+    definitions = cfg.get("pattern_definitions")
+    anchored = cfg.get("anchor", True)
+    ignore_failure = cfg.get("ignore_failure", True)
+
+    regex, fields = expand_grok(pattern, definitions)
+    if anchored:
+        regex = f"^(?:{regex})$"
+    if not fields:
+        raise ValueError("grok: pattern has no named captures")
+
+    class Grok(Stage):
+        def apply(self, df: DataFrame, cond: Column | None = None) -> DataFrame:
+            from beats_spark.event import with_path
+            if not has_path(df.schema, src):
+                raise ValueError(f"grok: field {src!r} not in schema")
+            col = get_path(df, src).cast("string")
+            matched = col.rlike(regex)
+            cols: dict[str, Column] = {}
+            for i, (name, typ) in enumerate(fields):
+                v = F.when(matched, F.regexp_extract(col, regex, i + 1))
+                if typ:
+                    v = v.try_cast(_GROK_TYPES.get(typ, "string"))
+                cols[name] = v
+            failed = F.coalesce(~matched, F.lit(True))
+            if cond is not None:
+                failed = cond & failed
+            if target:
+                payload = F.struct(*[c.alias(n) for n, c in cols.items()])
+                if cond is not None:
+                    payload = F.when(cond, payload)
+                df = with_path(df, target, payload)
+            else:
+                for n, c in cols.items():
+                    if cond is not None:
+                        old = get_path(df, n) if has_path(df.schema, n) else F.lit(None)
+                        c = F.when(cond, c).otherwise(old)
+                    df = with_path(df, n, c)
+            if not ignore_failure:
+                df = append_flag(df, "grok_parsing_error", cond=failed)
+            return df
+
+    return Grok()

@@ -1,0 +1,61 @@
+"""Dotted-path helpers (MapStr analogue) tests."""
+
+from pyspark.sql import functions as F
+
+from beats_spark.event import (
+    add_tags,
+    append_flag,
+    drop_path,
+    get_path,
+    has_path,
+    rename_path,
+    with_path,
+)
+
+
+def test_with_path_creates_nested(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    df = with_path(df, "a.b.c", F.lit("x"))
+    assert df.collect()[0]["a"]["b"]["c"] == "x"
+    # deepen an existing struct
+    df = with_path(df, "a.b.d", F.lit(7))
+    row = df.collect()[0]
+    assert row["a"]["b"]["c"] == "x" and row["a"]["b"]["d"] == 7
+    # overwrite a leaf
+    df = with_path(df, "a.b.c", F.lit("y"))
+    assert df.collect()[0]["a"]["b"]["c"] == "y"
+
+
+def test_has_get_path(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    df = with_path(df, "s.x", F.lit(5))
+    assert has_path(df.schema, "s.x") and not has_path(df.schema, "s.y")
+    assert df.select(get_path(df, "s.x").alias("v")).collect()[0]["v"] == 5
+    assert df.select(get_path(df, "nope").alias("v")).collect()[0]["v"] is None
+
+
+def test_drop_and_rename(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    df = with_path(df, "s.x", F.lit(5))
+    df = with_path(df, "s.y", F.lit(6))
+    df = drop_path(df, "s.x")
+    assert not has_path(df.schema, "s.x") and has_path(df.schema, "s.y")
+    df = rename_path(df, "s.y", "t.z")
+    assert not has_path(df.schema, "s") and df.collect()[0]["t"]["z"] == 6
+
+
+def test_drop_last_field_removes_root(spark):
+    df = with_path(spark.createDataFrame([(1,)], "id int"), "s.only", F.lit(1))
+    df = drop_path(df, "s.only")
+    assert "s" not in df.columns
+
+
+def test_add_tags_and_flags(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    df = add_tags(df, ["t1", "t2"])
+    df = add_tags(df, ["t3"])
+    assert df.collect()[0]["tags"] == ["t1", "t2", "t3"]
+    df = append_flag(df, "truncated", cond=F.col("id") == 1)
+    assert df.collect()[0]["log"]["flags"] == ["truncated"]
+    df2 = append_flag(df, "x", cond=F.col("id") == 99)
+    assert df2.collect()[0]["log"]["flags"] == ["truncated"]

@@ -1,0 +1,367 @@
+"""Processor library tests — semantics pinned to libbeat/processors/actions
+and friends. Pattern mirrors the reference's table-driven per-processor
+tests (config → construct → run → assert fields)."""
+
+import datetime as dt
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.processors import apply_chain, build_chain
+
+
+def run(spark, rows, schema, cfg):
+    df = spark.createDataFrame(rows, schema)
+    return apply_chain(df, build_chain(cfg))
+
+
+def test_add_fields_under_target(spark):
+    out = run(
+        spark, [(1,)], "id int",
+        [{"add_fields": {"target": "project", "fields": {"name": "x", "meta": {"v": 2}}}}],
+    ).collect()[0]
+    assert out["project"]["name"] == "x" and out["project"]["meta"]["v"] == 2
+
+
+def test_add_fields_root_target(spark):
+    out = run(spark, [(1,)], "id int",
+              [{"add_fields": {"target": "", "fields": {"flat": "y"}}}]).collect()[0]
+    assert out["flat"] == "y"
+
+
+def test_add_tags_and_labels(spark):
+    out = run(
+        spark, [(1,)], "id int",
+        [{"add_tags": {"tags": ["a", "b"]}},
+         {"add_tags": {"tags": ["c"]}},
+         {"add_labels": {"labels": {"env": "prod", "nested": {"k": 1}}}}],
+    ).collect()[0]
+    assert out["tags"] == ["a", "b", "c"]
+    assert out["labels"]["env"] == "prod"
+    # labels are FLATTENED (dotted key), not nested (add_labels.go:31-41)
+    assert out["labels"]["nested.k"] == 1
+
+
+def test_rename_copy_drop_include(spark):
+    out = run(
+        spark, [(1, "x")], "id int, old string",
+        [{"rename": {"fields": [{"from": "old", "to": "nested.new"}]}},
+         {"copy_fields": {"fields": [{"from": "nested.new", "to": "copied"}]}},
+         {"drop_fields": {"fields": ["missing"], "ignore_missing": True}}],
+    ).collect()[0]
+    assert out["nested"]["new"] == "x" and out["copied"] == "x"
+    assert "old" not in out.asDict()
+
+
+def test_rename_to_existing_fails_at_plan_time(spark):
+    with pytest.raises(ValueError, match="already exists"):
+        run(spark, [(1, "x")], "id int, old string",
+            [{"rename": {"fields": [{"from": "old", "to": "id"}]}}])
+
+
+def test_include_fields_keeps_protected(spark):
+    out = run(
+        spark,
+        [(1, "a", "b", dt.datetime(2024, 1, 1))],
+        "id int, keep string, toss string, ts timestamp",
+        [{"include_fields": {"fields": ["keep"]}}],
+    )
+    assert set(out.columns) == {"keep", "ts"}
+
+
+def test_drop_event_when(spark):
+    out = run(
+        spark,
+        [(1, "system"), (2, "user"), (3, "system")],
+        "id int, role string",
+        [{"drop_event": {"when": {"equals": {"role": "system"}}}}],
+    )
+    assert [r["id"] for r in out.orderBy("id").collect()] == [2]
+
+
+def test_replace_and_truncate(spark):
+    out = run(
+        spark,
+        [(1, "hello world", "abcdefghij")],
+        "id int, a string, b string",
+        [{"replace": {"fields": [{"field": "a", "pattern": "world", "replacement": "spark"}]}},
+         {"truncate_fields": {"fields": ["b"], "max_characters": 4}}],
+    ).collect()[0]
+    assert out["a"] == "hello spark"
+    assert out["b"] == "abcd"
+    assert "truncated" in out["log"]["flags"]
+
+
+def test_truncate_no_flag_when_short(spark):
+    out = run(spark, [(1, "ab")], "id int, b string",
+              [{"truncate_fields": {"fields": ["b"], "max_characters": 4}}]).collect()[0]
+    assert out["b"] == "ab"
+    assert out["log"] is None or out["log"]["flags"] is None
+
+
+def test_convert(spark):
+    out = run(
+        spark,
+        [("42", "1.5", "10.0.0.1"), ("bad", "nope", "not-an-ip")],
+        "n string, f string, ip string",
+        [{"convert": {"fields": [
+            {"from": "n", "to": "n2", "type": "long"},
+            {"from": "f", "to": "f2", "type": "double"},
+            {"from": "ip", "to": "ip2", "type": "ip"},
+        ]}}],
+    ).orderBy("n").collect()
+    good = [r for r in out if r["n"] == "42"][0]
+    bad = [r for r in out if r["n"] == "bad"][0]
+    assert good["n2"] == 42 and good["f2"] == 1.5 and good["ip2"] == "10.0.0.1"
+    assert bad["n2"] is None and bad["ip2"] is None
+
+
+def test_timestamp_layouts(spark):
+    out = run(
+        spark,
+        [("2024-03-05T06:07:08Z",), ("2024-03-05 06:07:08",)],
+        "raw string",
+        [{"timestamp": {"field": "raw", "layouts": [
+            "2006-01-02T15:04:05Z07:00", "2006-01-02 15:04:05"]}}],
+    ).collect()
+    for r in out:
+        assert r["ts"] == dt.datetime(2024, 3, 5, 6, 7, 8)
+
+
+def test_decode_json_fields(spark):
+    out = run(
+        spark,
+        [('{"k": 87, "tags": ["x"]}',), (None,)],
+        "props string",
+        [{"decode_json_fields": {"fields": ["props"], "target": "p",
+                                 "schema": "k long, tags array<string>"}}],
+    ).collect()
+    assert out[0]["p"]["k"] == 87 and out[0]["p"]["tags"] == ["x"]
+    assert out[1]["p"] is None
+
+
+def test_extract_field_and_base64(spark):
+    import base64
+    enc = base64.b64encode(b"secret").decode()
+    out = run(
+        spark,
+        [("a-b-c", enc)],
+        "path string, blob string",
+        [{"extract_field": {"field": "path", "separator": "-", "index": 1, "target": "part"}},
+         {"decode_base64_field": {"field": {"from": "blob", "to": "plain"}}}],
+    ).collect()[0]
+    assert out["part"] == "b" and out["plain"] == "secret"
+
+
+def test_when_guard_applies_only_to_matches(spark):
+    out = run(
+        spark,
+        [(1, "err"), (2, "ok")],
+        "id int, status string",
+        [{"add_fields": {"target": "", "fields": {"alert": "yes"},
+                         "when": {"equals": {"status": "err"}}}}],
+    ).orderBy("id").collect()
+    assert out[0]["alert"] == "yes" and out[1]["alert"] is None
+
+
+def test_if_then_else(spark):
+    out = run(
+        spark,
+        [(50,), (150,)],
+        "latency int",
+        [{"if": {"range": {"latency": {"gte": 100}}},
+          "then": [{"add_tags": {"tags": ["slow"]}}],
+          "else": [{"add_tags": {"tags": ["fast"]}}]}],
+    ).orderBy("latency").collect()
+    assert out[0]["tags"] == ["fast"] and out[1]["tags"] == ["slow"]
+
+
+# -- fingerprint bit-exactness ------------------------------------------------
+
+def go_time_repr(t: dt.datetime) -> str:
+    base = t.strftime("%Y-%m-%d %H:%M:%S")
+    frac = f"{t.microsecond:06d}".rstrip("0")
+    if frac:
+        base += "." + frac
+    return base + " +0000 UTC"
+
+
+def expected_fp(fields: dict, method="sha256") -> str:
+    ser = ""
+    for k in sorted(fields):
+        v = fields[k]
+        if isinstance(v, dt.datetime):
+            v = go_time_repr(v)
+        elif isinstance(v, bool):
+            v = "true" if v else "false"
+        ser += f"|{k}|{v}"
+    ser += "|"
+    return getattr(hashlib, method)(ser.encode()).hexdigest()
+
+
+def test_fingerprint_bit_exact_strings_ints(spark):
+    rows = [("conv-1", 7, "hello |pipe| text")]
+    out = run(
+        spark, rows, "conv_id string, turn_idx int, text string",
+        [{"fingerprint": {"fields": ["conv_id", "turn_idx", "text"]}}],
+    ).collect()[0]
+    assert out["fingerprint"] == expected_fp(
+        {"conv_id": "conv-1", "turn_idx": 7, "text": "hello |pipe| text"}
+    )
+
+
+def test_fingerprint_timestamp_utc(spark):
+    t = dt.datetime(2024, 1, 1, 0, 9, 58, 778549)
+    out = run(
+        spark, [(t,)], "ts timestamp",
+        [{"fingerprint": {"fields": ["ts"], "method": "md5"}}],
+    ).collect()[0]
+    assert out["fingerprint"] == expected_fp({"ts": t}, "md5")
+
+
+def test_fingerprint_zero_fraction_timestamp(spark):
+    t = dt.datetime(2024, 6, 1, 12, 0, 0)
+    out = run(
+        spark, [(t,)], "ts timestamp",
+        [{"fingerprint": {"fields": ["ts"]}}],
+    ).collect()[0]
+    assert out["fingerprint"] == expected_fp({"ts": t})
+
+
+def test_fingerprint_methods_and_encodings(spark):
+    import base64 as b64
+    rows = [("x",)]
+    for method in ["md5", "sha1", "sha256", "sha384", "sha512"]:
+        out = run(spark, rows, "v string",
+                  [{"fingerprint": {"fields": ["v"], "method": method}}]).collect()[0]
+        assert out["fingerprint"] == expected_fp({"v": "x"}, method)
+    out = run(spark, rows, "v string",
+              [{"fingerprint": {"fields": ["v"], "encoding": "base64"}}]).collect()[0]
+    raw = bytes.fromhex(expected_fp({"v": "x"}))
+    assert out["fingerprint"] == b64.b64encode(raw).decode()
+    out = run(spark, rows, "v string",
+              [{"fingerprint": {"fields": ["v"], "encoding": "base32"}}]).collect()[0]
+    assert out["fingerprint"] == b64.b32encode(raw).decode()
+
+
+def test_fingerprint_fields_sorted_and_deduped(spark):
+    rows = [("a", "b")]
+    out1 = run(spark, rows, "x string, y string",
+               [{"fingerprint": {"fields": ["y", "x", "y"]}}]).collect()[0]
+    out2 = run(spark, rows, "x string, y string",
+               [{"fingerprint": {"fields": ["x", "y"]}}]).collect()[0]
+    assert out1["fingerprint"] == out2["fingerprint"]
+
+
+# -- grok ---------------------------------------------------------------------
+
+def test_grok_parse(spark):
+    out = run(
+        spark,
+        [("2024-03-05T06:07:08Z INFO 10.1.2.3 took 42ms",), ("nope",)],
+        "text string",
+        [{"grok": {
+            "pattern": "%{TIMESTAMP_ISO8601:when} %{LOGLEVEL:level} %{IP:client} took %{INT:ms:int}ms",
+            "field": "text", "target_prefix": "g"}}],
+    ).collect()
+    g = out[0]["g"]
+    assert g["level"] == "INFO" and g["client"] == "10.1.2.3" and g["ms"] == 42
+    assert out[1]["g"]["level"] is None
+
+
+def test_grok_stays_jvm_side(spark):
+    """No BatchEvalPython / ArrowEval in the plan — grok is pure Catalyst."""
+    df = spark.createDataFrame([("x 1",)], "text string")
+    out = apply_chain(df, build_chain(
+        [{"grok": {"pattern": "%{WORD:w} %{INT:n:int}", "field": "text"}}]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+# -- stateful ------------------------------------------------------------------
+
+def test_multiline_merge_after(spark):
+    rows = [
+        ("c1", 0, "Exception in thread"),
+        ("c1", 1, "  at Foo.bar"),
+        ("c1", 2, "  at Baz.qux"),
+        ("c1", 3, "Next event"),
+        ("c2", 0, "  orphan continuation"),
+    ]
+    out = run(
+        spark, rows, "conv_id string, turn_idx int, text string",
+        [{"multiline": {"pattern": r"^\s", "match": "after",
+                        "partition_by": ["conv_id"], "order_by": ["turn_idx"]}}],
+    ).orderBy("conv_id", "turn_idx").collect()
+    texts = [(r["conv_id"], r["text"]) for r in out]
+    assert ("c1", "Exception in thread\n  at Foo.bar\n  at Baz.qux") in texts
+    assert ("c1", "Next event") in texts
+    assert ("c2", "  orphan continuation") in texts
+    # first-event fields preserved
+    merged = [r for r in out if r["text"].startswith("Exception")][0]
+    assert merged["turn_idx"] == 0
+
+
+def test_multiline_count_lines(spark):
+    rows = [("c1", i, f"l{i}") for i in range(5)]
+    out = run(
+        spark, rows, "conv_id string, turn_idx int, text string",
+        [{"multiline": {"count_lines": 2, "partition_by": ["conv_id"],
+                        "order_by": ["turn_idx"]}}],
+    ).orderBy("turn_idx").collect()
+    assert [r["text"] for r in out] == ["l0\nl1", "l2\nl3", "l4"]
+
+
+def test_rate_limit(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [("u1", base + dt.timedelta(seconds=i)) for i in range(10)]
+    rows += [("u2", base + dt.timedelta(seconds=i)) for i in range(3)]
+    out = run(
+        spark, rows, "user string, ts timestamp",
+        [{"rate_limit": {"limit": "5/m", "fields": ["user"]}}],
+    )
+    counts = {r["user"]: r["cnt"] for r in
+              out.groupBy("user").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {"u1": 5, "u2": 3}
+
+
+def test_enrich_broadcast_join(spark):
+    from beats_spark.processors.enrich import register_lookup
+    dim = spark.createDataFrame(
+        [("search", "retrieval", "cheap"), ("code", "execution", "costly")],
+        "tool string, family string, cost string",
+    )
+    register_lookup("tools", lambda: dim)
+    out = run(
+        spark,
+        [("search",), ("unknown",)],
+        "tool string",
+        [{"enrich": {"lookup": "tools", "on": "tool", "target": "tool_meta",
+                     "default": {"family": "other"}}}],
+    ).orderBy("tool").collect()
+    bysrc = {r["tool"]: r for r in out}
+    assert bysrc["search"]["tool_meta"]["family"] == "retrieval"
+    assert bysrc["unknown"]["tool_meta"]["family"] == "other"
+    assert bysrc["unknown"]["tool_meta"]["cost"] is None
+
+
+def test_enrich_is_broadcast(spark):
+    from beats_spark.processors.enrich import register_lookup
+    dim = spark.createDataFrame([("a", 1)], "k string, v int")
+    register_lookup("d", lambda: dim)
+    df = spark.createDataFrame([("a",)], "k2 string")
+    out = apply_chain(df, build_chain(
+        [{"enrich": {"lookup": "d", "on": "k2", "key": "k", "target": "e"}}]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_script_map_in_pandas(spark):
+    def fn(pdf):
+        pdf = pdf.copy()
+        pdf["n"] = pdf["n"] * 2
+        return pdf
+
+    out = run(spark, [(1,), (2,)], "n int", [{"script": {"fn": fn}}])
+    assert sorted(r["n"] for r in out.collect()) == [2, 4]

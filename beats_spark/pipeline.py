@@ -1,0 +1,250 @@
+"""The pipeline: config → composed DataFrame plan → fan-out run.
+
+Replaces the reference's harvester → processor chain → publisher → output
+path (filebeat/beater/filebeat.go:220, libbeat/publisher/pipeline/client.go:83)
+with one declarative Spark job:
+
+    incremental read (snapshot range)           # registrar resume semantics
+      → processor chain (one fused projection per stage)
+      → salted repartition on hot conv_ids      # skew control
+      → _sink column (outil.Selector, first-match-wins)
+      → ONE partitioned write, per-sink dirs adopted as table snapshots
+      → metrics + lineage commit                # monitoring.go counters
+
+Fan-out is single-pass: the reference publishes each batch once to one output
+(load-balanced), we write each row once via ``partitionBy(_sink)`` — no
+per-sink re-scan of the transformed frame. Metrics re-aggregate the *written*
+parquet (cheap columnar count) so reported counts are what actually landed,
+not what the plan promised — the analogue of ack-based counters
+(pipeline/monitoring.go:92-104: events.total/filtered/published).
+
+Exactly-once resume: each processed source snapshot id is recorded in the
+``lineage`` table inside the same run; a re-run sees it and skips — the
+registrar's offset checkpoint (filebeat/registrar/registrar.go:139-194)
+re-expressed as table state.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from beats_spark.catalog import ParquetCatalog
+from beats_spark.processors import apply_chain, build_chain
+from beats_spark.schema import META_PREFIX, PID_COL, SINK_COL
+from beats_spark.selector import compile_selector
+
+DEAD_LETTER = "dead_letter"
+METRICS_TABLE = "pipeline_metrics"
+LINEAGE_TABLE = "lineage"
+
+
+@dataclass
+class PipelineConfig:
+    """Shaped like a filebeat YAML: ``processors`` list + ``output.routes``."""
+
+    processors: list[dict[str, Any]] = field(default_factory=list)
+    routes: list[dict[str, Any]] = field(default_factory=list)
+    fallback_sink: str | None = None      # constant last rule; None → dead_letter
+    dead_letter: str = DEAD_LETTER
+    # skew control: repartition on (conv_id, salt) before wide stages.
+    salt_column: str | None = None        # e.g. "conv_id"
+    salt_buckets: int = 0                 # 0 = off
+    repartition: int | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "PipelineConfig":
+        out = d.get("output", {})
+        return cls(
+            processors=d.get("processors", []),
+            routes=out.get("routes", d.get("routes", [])),
+            fallback_sink=out.get("fallback", d.get("fallback")),
+            dead_letter=out.get("dead_letter", DEAD_LETTER),
+            salt_column=d.get("salt_column"),
+            salt_buckets=int(d.get("salt_buckets", 0)),
+            repartition=d.get("repartition"),
+        )
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    sinks: dict[str, int]          # sink table → rows routed this run
+    events_in: int
+    events_dropped: int
+    snapshot_ids: list[str]        # source snapshots consumed (resume mode)
+    skipped: bool = False          # True when nothing new to process
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, config: PipelineConfig,
+                 catalog: ParquetCatalog | None = None):
+        self.spark = spark
+        self.config = config
+        self.catalog = catalog
+        self.stages = build_chain(config.processors)
+
+    # -- pure plan (unit-testable, no IO) -----------------------------------
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """processor chain + routing; adds ``_sink`` (never null: unroutable
+        rows go to the dead-letter table, mirroring ES dead_letter_index,
+        outputs/elasticsearch/non_indexable_policy.go:31-73)."""
+        cfg = self.config
+        if cfg.salt_buckets and cfg.salt_column:
+            n = cfg.repartition or self.spark.sparkContext.defaultParallelism * 2
+            df = df.repartition(
+                n, F.col(cfg.salt_column),
+                F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                       F.lit(cfg.salt_buckets)),
+            )
+        elif cfg.repartition:
+            df = df.repartition(cfg.repartition)
+        df = apply_chain(df, self.stages)
+        sink = compile_selector(df, cfg.routes, fallback=cfg.fallback_sink)
+        return df.withColumn(SINK_COL, F.coalesce(sink, F.lit(cfg.dead_letter)))
+
+    # -- full run ------------------------------------------------------------
+
+    def run(self, df: DataFrame, run_id: str | None = None,
+            source_snapshots: list[str] | None = None,
+            source_table: str = "transcripts") -> RunResult:
+        if self.catalog is None:
+            raise ValueError("run() needs a catalog; use transform() for plan-only")
+        run_id = run_id or uuid.uuid4().hex[:12]
+        cat = self.catalog
+
+        # tag the input partition once, at the scan, for per-partition lineage
+        df = df.withColumn(PID_COL, F.spark_partition_id())
+        in_counts = {
+            r[PID_COL]: r["cnt"]
+            for r in df.groupBy(PID_COL).agg(F.count("*").alias("cnt")).collect()
+        }
+
+        routed = self.transform(df)
+        payload_cols = [c for c in routed.columns if not c.startswith(META_PREFIX)]
+        routed = routed.select(*payload_cols)
+
+        # single-pass fan-out: one partitioned write, then per-sink adoption
+        staging = os.path.join(cat.warehouse, f"_staging_{run_id}")
+        routed.write.partitionBy(SINK_COL).mode("errorifexists").parquet(staging)
+
+        written = self.spark.read.parquet(staging)
+        out_rows = (
+            written.groupBy(SINK_COL, PID_COL)
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        sink_counts: dict[str, int] = {}
+        pid_out: dict[int, int] = {}
+        metrics_rows: list[tuple] = []
+        for r in out_rows:
+            s, p, c = r[SINK_COL], r[PID_COL], r["cnt"]
+            sink_counts[s] = sink_counts.get(s, 0) + c
+            pid_out[p] = pid_out.get(p, 0) + c
+            metrics_rows.append((run_id, int(p) if p is not None else -1, s, 0, 0, c))
+        for p, n_in in in_counts.items():
+            dropped = n_in - pid_out.get(p, 0)
+            metrics_rows.append((run_id, int(p) if p is not None else -1, None,
+                                 n_in, dropped, 0))
+
+        for sink in sorted(sink_counts):
+            cat.adopt_directory(
+                os.path.join(staging, f"{SINK_COL}={sink}"), sink, run_id=run_id
+            )
+        # leftover staging dir (only _SUCCESS marker remains) is removed
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)
+
+        metrics_df = self.spark.createDataFrame(
+            metrics_rows,
+            "run_id string, partition_id int, sink string, "
+            "events_in long, events_dropped long, events_routed long",
+        )
+        cat.append(metrics_df, METRICS_TABLE, run_id=run_id)
+
+        snaps = source_snapshots or []
+        if snaps:
+            lineage_df = self.spark.createDataFrame(
+                [(run_id, source_table, s, float(time.time())) for s in snaps],
+                "run_id string, source_table string, snapshot_id string, "
+                "committed_at double",
+            )
+            cat.append(lineage_df, LINEAGE_TABLE, run_id=run_id)
+
+        events_in = sum(in_counts.values())
+        events_routed = sum(sink_counts.values())
+        return RunResult(
+            run_id=run_id,
+            sinks=sink_counts,
+            events_in=events_in,
+            events_dropped=events_in - events_routed,
+            snapshot_ids=snaps,
+        )
+
+    def run_incremental(self, source_table: str = "transcripts",
+                        run_id: str | None = None) -> RunResult:
+        """Resume from checkpoint: process only source snapshots not yet in
+        the lineage table (registrar semantics). Idempotent: a second call
+        with no new source snapshots is a no-op."""
+        cat = self.catalog
+        assert cat is not None
+        done: set[str] = set()
+        if cat.exists(LINEAGE_TABLE):
+            done = {
+                r["snapshot_id"]
+                for r in cat.read(LINEAGE_TABLE)
+                .filter(F.col("source_table") == source_table)
+                .select("snapshot_id").distinct().collect()
+            }
+        todo = [s for s in cat.snapshots(source_table) if s.snapshot_id not in done]
+        if not todo:
+            return RunResult(run_id=run_id or "noop", sinks={}, events_in=0,
+                             events_dropped=0, snapshot_ids=[], skipped=True)
+        df = cat.read(source_table, [s.snapshot_id for s in todo])
+        return self.run(df, run_id=run_id,
+                        source_snapshots=[s.snapshot_id for s in todo],
+                        source_table=source_table)
+
+
+# -- the FIXTURES.md §5 reference pipeline (the e2e "query") ----------------
+
+def fixture_config() -> PipelineConfig:
+    """The golden end-to-end config: exercises dissect, drop_event-when,
+    add_fields, rename, fingerprint, if/then tagging, selector routing."""
+    return PipelineConfig(
+        processors=[
+            {"dissect": {
+                "tokenizer": 'level=%{level} caller=%{caller} msg="%{msg}" '
+                             'latency_ms=%{latency|integer}',
+                "field": "text", "target_prefix": "parsed",
+                "ignore_failure": True,
+            }},
+            {"drop_event": {"when": {"equals": {"role": "system"}}}},
+            {"add_fields": {"target": "meta2",
+                            "fields": {"pipeline_version": "1"}}},
+            {"rename": {"fields": [{"from": "parsed.caller",
+                                    "to": "parsed.origin"}],
+                        "ignore_missing": True}},
+            {"fingerprint": {"fields": ["conv_id", "turn_idx", "text"],
+                             "method": "sha256",
+                             "target_field": "fingerprint"}},
+            {"if": {"range": {"parsed.latency": {"gte": 100}}},
+             "then": [{"add_tags": {"tags": ["slow"]}}]},
+        ],
+        routes=[
+            # mappings rewrite the *formatted* value (select.go:227-243), so
+            # the rule formats the bare tool and maps it to a sink table name;
+            # a mapping miss (unknown tool) falls to the default.
+            {"sink": "%{[tool]}",
+             "mappings": {"search": "sink_search", "code": "sink_code",
+                          "browser": "sink_browser", "none": "sink_other"},
+             "default": "sink_other",
+             "when": {"has_fields": ["tool"]}},
+        ],
+    )

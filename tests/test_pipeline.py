@@ -1,0 +1,153 @@
+"""End-to-end pipeline tests: fan-out counts vs a pandas oracle, per-turn
+text equality under (conv_id, turn_idx) ordering, and checkpoint/resume
+idempotence (the FIXTURES.md §4/§5 golden flow)."""
+
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.catalog import ParquetCatalog
+from beats_spark.pipeline import (
+    LINEAGE_TABLE,
+    METRICS_TABLE,
+    Pipeline,
+    fixture_config,
+)
+from beats_spark.testdata import synthesize_transcripts, transcripts_from_events
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def oracle_routes(pdf: pd.DataFrame) -> pd.Series:
+    """Pure-pandas oracle for the fixture pipeline's routing."""
+    kept = pdf[pdf["role"] != "system"]
+    mapping = {"search": "sink_search", "code": "sink_code",
+               "browser": "sink_browser", "none": "sink_other"}
+    return kept["tool"].map(mapping).fillna("sink_other")
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return transcripts_from_events(spark, SF_DIR).cache()
+
+
+def test_transform_counts_match_pandas_oracle(spark, transcripts):
+    pipe = Pipeline(spark, fixture_config())
+    got = {
+        r["_sink"]: r["cnt"]
+        for r in pipe.transform(transcripts)
+        .groupBy("_sink").agg(F.count("*").alias("cnt")).collect()
+    }
+    want = oracle_routes(transcripts.toPandas()).value_counts().to_dict()
+    assert got == want
+
+
+def test_parse_and_tags(spark, transcripts):
+    pipe = Pipeline(spark, fixture_config())
+    out = pipe.transform(transcripts)
+    pdf = out.toPandas()
+    # malformed rows: parse failed → null fields + dissect failure flag
+    bad = pdf[pdf["text"].str.startswith("MALFORMED")]
+    assert len(bad) > 0
+    assert bad["parsed"].map(lambda s: s is None or s["level"] is None).all()
+    # well-formed rows: parsed fields match a regex oracle
+    ok = pdf[~pdf["text"].str.startswith("MALFORMED")]
+    rx = re.compile(r'^level=(\S+) caller=(\S+) msg="([^"]*)" latency_ms=(\d+)$')
+    for _, row in ok.head(50).iterrows():
+        m = rx.match(row["text"])
+        assert m
+        assert row["parsed"]["level"] == m.group(1)
+        assert row["parsed"]["origin"] == m.group(2)  # renamed caller→origin
+        assert row["parsed"]["msg"] == m.group(3)
+        assert row["parsed"]["latency"] == int(m.group(4))
+        want_slow = int(m.group(4)) >= 100
+        assert (row["tags"] is not None and "slow" in list(row["tags"])) == want_slow
+
+
+def test_run_fanout_and_metrics(spark, transcripts, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    pipe = Pipeline(spark, fixture_config(), cat)
+    res = pipe.run(transcripts, run_id="r1")
+
+    want = oracle_routes(transcripts.toPandas()).value_counts().to_dict()
+    assert res.sinks == want
+    assert res.events_in == transcripts.count()
+    assert res.events_dropped == res.events_in - sum(want.values())
+
+    # sink tables hold exactly the routed rows; text preserved per-turn
+    for sink, n in want.items():
+        tbl = cat.read(sink)
+        assert tbl.count() == n
+    m = cat.read(METRICS_TABLE).toPandas()
+    assert m[m["sink"].notna()]["events_routed"].sum() == sum(want.values())
+    assert m[m["sink"].isna()]["events_in"].sum() == res.events_in
+    assert m[m["sink"].isna()]["events_dropped"].sum() == res.events_dropped
+
+
+def test_text_equality_stable_ordering(spark, transcripts, tmp_path):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering —
+    the BASELINE.json per-row invariant."""
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    pipe = Pipeline(spark, fixture_config(), cat)
+    pipe.run(transcripts, run_id="r1")
+    sinks = ["sink_search", "sink_code", "sink_browser", "sink_other"]
+    got = (
+        cat.read(sinks[0]).select("conv_id", "turn_idx", "text")
+        .unionByName(cat.read(sinks[1]).select("conv_id", "turn_idx", "text"))
+        .unionByName(cat.read(sinks[2]).select("conv_id", "turn_idx", "text"))
+        .unionByName(cat.read(sinks[3]).select("conv_id", "turn_idx", "text"))
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    want = (
+        transcripts.filter(F.col("role") != "system")
+        .select("conv_id", "turn_idx", "text")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+
+
+def test_checkpoint_resume_idempotent(spark, transcripts, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    # source lands in two snapshots
+    half1 = transcripts.filter(F.col("conv_id") < "conv-000007")
+    half2 = transcripts.filter(F.col("conv_id") >= "conv-000007")
+    cat.append(half1, "transcripts")
+    pipe = Pipeline(spark, fixture_config(), cat)
+
+    r1 = pipe.run_incremental("transcripts", run_id="r1")
+    assert not r1.skipped and len(r1.snapshot_ids) == 1
+    # no new data → no-op, nothing double-appended
+    r2 = pipe.run_incremental("transcripts", run_id="r2")
+    assert r2.skipped and r2.events_in == 0
+
+    cat.append(half2, "transcripts")
+    r3 = pipe.run_incremental("transcripts", run_id="r3")
+    assert not r3.skipped and len(r3.snapshot_ids) == 1
+
+    # total routed across both runs == single-shot oracle
+    want = oracle_routes(transcripts.toPandas()).value_counts().to_dict()
+    got = {s: cat.read(s).count() for s in want}
+    assert got == want
+    lineage = cat.read(LINEAGE_TABLE).toPandas()
+    assert set(lineage["run_id"]) == {"r1", "r3"}
+    assert len(lineage) == 2
+
+
+def test_synthesize_transcripts_deterministic(spark):
+    a = synthesize_transcripts(spark, n_turns=2000, n_convs=50, partitions=4)
+    b = synthesize_transcripts(spark, n_turns=2000, n_convs=50, partitions=13)
+    pa = a.orderBy("conv_id", "turn_idx").toPandas()
+    pb = b.orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(pa, pb)
+    assert pa["conv_id"].nunique() == 50
+    # hot key skew present
+    assert (pa["conv_id"] == "conv-000000").mean() > 0.15
+    # turn_idx dense per conv
+    g = pa.groupby("conv_id")["turn_idx"]
+    assert (g.min() == 0).all()
+    assert (g.max() + 1 == g.count()).all()

@@ -1,0 +1,289 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine near-dup.
+
+Shuffle budget at 100 TB:
+- exact: one shuffle on the content hash (map-side partial agg first).
+- minhash LSH: one narrow pass computes signatures (per-row array math, no
+  shuffle), one explode+shuffle on (band, band_hash), pairs verified inside
+  buckets — never a global cross join.
+- simhash: narrow signature pass + one shuffle on the high bits.
+- embedding near-dup: hyperplane-bucket join (see similarity.py), cosine
+  verified inside buckets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling (shared, pure JVM)
+# ---------------------------------------------------------------------------
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokens, empties removed."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> (n-shingling is the
+    standard MinHash preprocessing; see Broder '97 resemblance)."""
+    toks = words(col)
+    k = F.size(toks) - F.lit(n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(F.when(k > 0, sh).otherwise(F.array().cast("array<string>")))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact content group.
+
+    groupBy on the 64-bit content hash, not the full text, so the shuffle
+    ships 8-byte keys; the (vanishingly rare) hash-collision case is guarded
+    by grouping on (hash, content) — Spark prunes the text column into the
+    shuffle only once.
+    """
+    h = F.xxhash64(F.col(content_col))
+    return (
+        df.withColumn("__h", h)
+        .groupBy("__h", content_col)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("__h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(col: Column, num_hashes: int = 64) -> Column:
+    """array<bigint> of per-seed min-hashes over the shingle set.
+
+    Each of the ``num_hashes`` permutations is xxhash64(shingle, seed=i) —
+    computed with two nested higher-order functions, fully JVM-side.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(col, lambda s: F.xxhash64(s, seed))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    shingle → minhash → band → bucket-join: docs sharing any band bucket
+    become candidates; candidates are verified with EXACT Jaccard over the
+    shingle sets, so the threshold is precise and LSH only controls recall
+    (rows per band r = num_hashes/bands; P[candidate] = 1-(1-j^r)^b).
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(content_col), shingle_n).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+
+    banded = sig.select(
+        "__id", "__sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("__band", "__bh"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bh") == F.col("b.__bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (brute-force within blocking key — the correctness baseline)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-grams for all pairs sharing ``block_col``
+    (a poor man's blocking key; None = global — small inputs only)."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+        word_shingles(F.col(content_col), shingle_n).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    a, b = base.alias("a"), base.alias("b")
+    on = F.col("a.__id") < F.col("b.__id")
+    if block_col:
+        on = on & (F.col("a.__blk") == F.col("b.__blk"))
+    jac = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh"))) / F.size(
+        F.array_union(F.col("a.__sh"), F.col("b.__sh"))
+    )
+    return (
+        a.join(b, on)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(col: Column, bits: int = 64) -> Column:
+    """Charikar SimHash over whitespace tokens, as a bigint.
+
+    bit_i = sign of sum over tokens of ±1 by the i-th bit of xxhash64(token).
+    ONE pass over the tokens with an array<long> accumulator (zip_with adds
+    the ±1 vector of each token's hash), then the sign vector is packed into
+    a single long. All higher-order array functions — no UDF, no shuffle,
+    token list traversed once.
+    """
+    toks = words(col)
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    zeros = F.transform(idx, lambda i: F.lit(0).cast("long") + i * 0)
+    counts = F.aggregate(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                idx,
+                lambda i: F.when(
+                    F.call_function("shiftright", h, i.cast("int")).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    packed = F.zip_with(
+        counts,
+        idx,
+        lambda c, i: F.when(
+            c > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i.cast("int"))
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(packed, F.lit(0).cast("long"), lambda a, b: a + b)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
+    (docs within hamming<=k usually share a 16-bit prefix when k is small;
+    production would use the standard 4-table permutation trick — same
+    join shape, 4× the buckets), verify with exact Hamming distance."""
+    base = df.select(
+        F.col(id_col).alias("__id"), simhash(F.col(content_col)).alias("__sim")
+    )
+    bucket = F.shiftrightunsigned(F.col("__sim"), 64 - prefix_bits)
+    base = base.withColumn("__bkt", bucket)
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.__bkt") == F.col("b.__bkt")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming64(F.col("a.__sim"), F.col("b.__sim")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, candidates from
+    random-hyperplane buckets (two vectors at angle θ collide with prob
+    (1-θ/π)^planes). Verification is exact cosine inside buckets."""
+    from beats_spark.ml.similarity import cosine, hyperplane_bucket
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__bkt", hyperplane_bucket(F.col("__v"), num_planes))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.__bkt") == F.col("b.__bkt")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

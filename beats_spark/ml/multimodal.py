@@ -1,0 +1,157 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with a typed metadata struct, processed by Arrow-batched
+``mapInPandas`` stages.
+
+The decode libraries (PIL/ffmpeg/torchaudio) are not in this container, so
+the actual byte→pixels/samples decode is STUBBED: ``decoder="fake"``
+(default) derives deterministic features from the bytes themselves so the
+whole Spark-side contract — schema, batch shape, partition sizing, UDF
+signature — is real and testable; ``decoder="real"`` raises
+NotImplementedError at the exact point a decode library would be called.
+
+Scale notes: binary payloads dominate row size, so these stages
+``repartition`` by byte budget, not row count; metadata-only transformations
+(filtering by width/duration) never touch the blob column thanks to parquet
+column pruning.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),       # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),     # opaque bytes
+        T.StructField("meta", T.StructType([
+            T.StructField("mime", T.StringType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("duration_ms", T.IntegerType(), True),
+        ]), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURES_FIELDS = "media_id long, kind string, feature array<float>, decode_ok boolean"
+_FRAMES_FIELDS = ("media_id long, frame_idx int, frame_payload binary")
+
+
+def synthesize_media(spark: SparkSession, n: int = 200) -> DataFrame:
+    """Deterministic fake media table: payload bytes are a hash-seeded
+    byte string; metadata is consistent with the kind."""
+    df = spark.range(n)
+    kind = (
+        F.when(F.col("id") % 3 == 0, "image")
+        .when(F.col("id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    payload = F.encode(
+        F.concat(F.lit("blob:"), F.hex(F.xxhash64("id")), F.lit(":"),
+                 F.repeat(F.hex(F.xxhash64("id", F.lit(7))), 8)),
+        "utf-8",
+    )
+    return df.select(
+        F.col("id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.when(kind == "image", "image/png")
+            .when(kind == "audio", "audio/wav")
+            .otherwise("video/mp4").alias("mime"),
+            F.when(kind != "audio", (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1920)) + 1).cast("int")).alias("width"),
+            F.when(kind != "audio", (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1080)) + 1).cast("int")).alias("height"),
+            F.when(kind != "image", (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(60000)) + 1).cast("int")).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_feature(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real encoder: fold the bytes into
+    FEATURE_DIM buckets and normalize."""
+    if payload is None:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    pad = (-len(arr)) % FEATURE_DIM
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+    folded = arr.reshape(-1, FEATURE_DIM).sum(axis=0).astype(np.float64)
+    n = np.linalg.norm(folded)
+    return (folded / n if n else folded).astype(np.float32)
+
+
+def extract_features(df: DataFrame, decoder: str = "fake",
+                     batch_bytes: int = 64 << 20) -> DataFrame:
+    """media table → (media_id, kind, feature array<float>, decode_ok).
+
+    mapInPandas so one Arrow batch flows in per iteration; on a real cluster
+    set spark.sql.execution.arrow.maxRecordsPerBatch so batch_size × median
+    payload ≈ ``batch_bytes``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                # the import/decode point a production build would fill in:
+                # PIL.Image.open(io.BytesIO(b)) / soundfile.read / pyav
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg (not in container)"
+                )
+            feats = [ _fake_feature(b) for b in pdf["payload"] ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "feature": [f.tolist() for f in feats],
+                "decode_ok": [b is not None for b in pdf["payload"]],
+            })
+
+    return df.mapInPandas(run, schema=_FEATURES_FIELDS)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000,
+                  max_frames: int = 8) -> DataFrame:
+    """video rows → one row per sampled frame (frame payload stubbed as a
+    deterministic slice of the source bytes). Demonstrates the explode-shaped
+    mapInPandas contract (one input row → N output rows)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_payload = [], [], []
+            for _, row in pdf.iterrows():
+                dur = row["meta"]["duration_ms"] or 0
+                n = min(max_frames, max(1, int(dur // every_ms)))
+                b = row["payload"] or b""
+                step = max(1, len(b) // max(n, 1))
+                for i in range(n):
+                    out_id.append(row["media_id"])
+                    out_idx.append(i)
+                    out_payload.append(bytes(b[i * step : i * step + 16]))
+            yield pd.DataFrame({
+                "media_id": pd.Series(out_id, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "frame_payload": pd.Series(out_payload, dtype=object),
+            })
+
+    return df.filter(F.col("kind") == "video").mapInPandas(run, schema=_FRAMES_FIELDS)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Metadata-only resize: rewrites the meta struct (real pixel resize
+    would live in the same mapInPandas slot as extract_features). Pure
+    column expression — payload untouched, parquet scan prunes it."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.when(F.col("kind") == "image", F.lit(width)).otherwise(F.col("meta.width")).cast("int").alias("width"),
+            F.when(F.col("kind") == "image", F.lit(height)).otherwise(F.col("meta.height")).cast("int").alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        ),
+    )

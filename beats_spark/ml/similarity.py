@@ -1,0 +1,176 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers:
+- ``cosine_topk``: brute-force scan — the correctness baseline. One narrow
+  pass (dot product via ``F.zip_with`` + ``F.aggregate``, pure JVM) and a
+  global top-k (TakeOrdered — per-partition heaps, only k rows per partition
+  reach the driver; no full sort, no shuffle of the corpus).
+- ``lsh_topk``: random-hyperplane LSH — the scale path. Bucket signature is
+  computed in the same narrow pass; the query probes only buckets within
+  ``probe_hamming`` of its own signature, so the scan is ~corpus/2^planes
+  per probe. Hyperplane coefficients are deterministic integer hashes
+  (no RNG shipping, reproducible at any parallelism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# vector math, pure JVM
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# deterministic "random" hyperplane coefficient in [-1, 1): plane p, dim d
+def _plane_coef(p: int, d: Column) -> Column:
+    return (
+        F.pmod(F.xxhash64(F.lit(p) * 16384 + d), F.lit(2000)).cast("double")
+        - F.lit(1000.0)
+    ) / F.lit(1000.0)
+
+
+def hyperplane_bucket(vec: Column, num_planes: int = 8) -> Column:
+    """Sign-bit signature of ``vec`` against ``num_planes`` deterministic
+    hyperplanes, packed into a bigint bucket id."""
+    out = F.lit(0).cast("long")
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(F.sequence(F.lit(0), F.size(vec) - 1),
+                            lambda d: _plane_coef(p, d)),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# search
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Brute-force top-k by cosine similarity to a constant query vector.
+
+    Returns (id, score) ordered by (score desc, id) — the id tiebreak keeps
+    results deterministic. ``orderBy().limit(k)`` compiles to TakeOrdered:
+    no global sort at any scale.
+    """
+    q = F.lit(query_vec).cast("array<double>")
+    df = corpus.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("score"),
+    )
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    return (
+        df.orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("score", 6).alias("score"))
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    probe_hamming: int = 2,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN top-k: scan only corpus rows whose hyperplane bucket is within
+    ``probe_hamming`` bits of the query's bucket (multi-probe LSH), then
+    exact cosine + top-k inside the probed slice.
+
+    At 100 TB the corpus would be written bucketed/partitioned by the
+    signature so the probe prunes file scans via partition pruning; here the
+    filter is computed on the fly (bit_count is codegen'd).
+    """
+    q = F.lit(query_vec).cast("array<double>")
+    vec = F.col(vec_col).cast("array<double>")
+    base = corpus.select(
+        F.col(id_col),
+        vec.alias("__v"),
+        hyperplane_bucket(vec, num_planes).alias("__bkt"),
+    )
+    qb = hyperplane_bucket(q, num_planes)
+    probed = base.filter(F.bit_count(F.col("__bkt").bitwiseXOR(qb)) <= probe_hamming)
+    if exclude_id is not None:
+        probed = probed.filter(F.col(id_col) != exclude_id)
+    return (
+        probed.select(F.col(id_col), cosine(F.col("__v"), q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("score", 6).alias("score"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN when a coarse quantizer already exists (a cluster
+    ``label`` column, as produced by any offline k-means): probe the
+    ``n_probe`` centroids nearest to the query (centroids = per-label mean,
+    computed with one small agg), then exact top-k within probed cells."""
+    vec = F.col(vec_col).cast("array<double>")
+    q = F.lit(query_vec).cast("array<double>")
+
+    # element-wise mean per label: posexplode → avg per (label, pos) →
+    # reassemble ordered. The exploded frame is tiny relative to the corpus
+    # (dims × rows of 3 columns) and aggregates map-side first.
+    cents = (
+        corpus.select(F.col(label_col).alias("lbl"), F.posexplode(vec).alias("pos", "x"))
+        .groupBy("lbl", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("lbl")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("lbl", F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"))
+    )
+    probe = [
+        r["lbl"]
+        for r in cents.select(
+            "lbl", cosine(F.col("centroid"), q).alias("s")
+        ).orderBy(F.col("s").desc()).limit(n_probe).collect()
+    ]
+    return (
+        corpus.filter(F.col(label_col).isin(probe))
+        .select(F.col(id_col), cosine(vec, q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("score", 6).alias("score"))
+    )

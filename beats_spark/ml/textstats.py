@@ -1,0 +1,131 @@
+"""Text analysis: language-ID, quality scoring, token counting, document
+fingerprinting. All pure column expressions (whole-stage codegen); every
+heuristic is deliberately SQL-expressible so the DuckDB oracle can replicate
+it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from beats_spark.ml.dedup import words
+
+# tiny fixed stopword lists for the n-gram/stopword-voting language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "que", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "por", "que", "para"],
+}
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols —
+# the usual pre-tokenizer shape (GPT-2 style, simplified to RE2/Java syntax).
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Count of BPE-ish regex tokens (JVM regexp_extract_all, no Python)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Number of tokens (lowercased) that are stopwords of ``lang`` —
+    duplicates count (list_filter semantics, matching the SQL oracle)."""
+    sw = STOPWORDS[lang]
+    toks = F.transform(words(col), lambda t: F.lower(t))
+    return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-voting language id: argmax of per-language stopword hits,
+    'und' (undetermined) when no list scores > 0. Ties break by language
+    order en > de > fr > es (stable, documented)."""
+    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Cheap quality signals (Gopher/C4-style filters): length, token stats,
+    punctuation/alpha ratios, stopword ratio, mean word length."""
+    n_chars = F.length(col)
+    toks = words(col)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(col, r"[^.,;:!?'\"()\[\]{}]", ""))
+    sw_hits = stopword_hits(col, "en")
+    mean_word_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
+        / n_tokens,
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": F.round(n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        "punct_ratio": F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(
+            sw_hits.cast("double") / F.greatest(n_tokens, F.lit(1)), 6
+        ),
+        "mean_word_len": F.round(mean_word_len, 6),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score: documents that are too short, too
+    punctuation-heavy, or stopword-free score low. Weights are arbitrary but
+    fixed (and mirrored in the SQL oracle)."""
+    f = quality_features(col)
+    len_ok = F.when(f["n_tokens"] >= 20, 1.0).when(f["n_tokens"] >= 5, 0.5).otherwise(0.0)
+    alpha_ok = F.when(f["alpha_ratio"] >= 0.6, 1.0).otherwise(f["alpha_ratio"] / 0.6)
+    punct_ok = F.when(f["punct_ratio"] <= 0.1, 1.0).otherwise(0.5)
+    sw_ok = F.when(f["stopword_ratio"] >= 0.05, 1.0).otherwise(0.5)
+    return F.round((len_ok + alpha_ok + punct_ok + sw_ok) / 4.0, 6)
+
+
+# -- document fingerprinting (rolling hash / winnowing-lite) -----------------
+
+_FP_B = 1_000_003          # polynomial base
+_FP_P = 2_147_483_647      # 2^31 - 1: keeps acc*B inside 64-bit
+
+
+def _word_hash(t: Column) -> Column:
+    """Position-independent word hash in [0, P): polynomial over character
+    codes — same integer math is expressible in DuckDB (list_reduce over
+    unicode codepoints), unlike xxhash64."""
+    chars = F.split(t, "")
+    return F.aggregate(
+        chars,
+        F.lit(7).cast("long"),
+        lambda acc, c: F.pmod(acc * 31 + F.ascii(c), F.lit(_FP_P)),
+    )
+
+
+def rolling_fingerprint(col: Column, window: int = 5) -> Column:
+    """Winnowing-style document fingerprint: min over all word-``window``
+    rolling polynomial hashes (Schleimer et al. '03, simplified to a single
+    global min). Deterministic integer math only."""
+    toks = words(col)
+    k = F.size(toks) - F.lit(window - 1)
+    shingle_hash = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.aggregate(
+            F.slice(toks, i + 1, window),
+            F.lit(0).cast("long"),
+            lambda acc, t: F.pmod(acc * _FP_B + _word_hash(t), F.lit(_FP_P)),
+        ),
+    )
+    whole = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * _FP_B + _word_hash(t), F.lit(_FP_P)),
+    )
+    return F.when(k > 0, F.array_min(shingle_hash)).otherwise(whole)

@@ -1,38 +1,849 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 has a ``queries()`` entry running
+the REAL beats_spark stage implementations over a transcript-shaped table
+derived deterministically from the driver's ``events`` parquet (derivation
+defined once as a DataFrame plan and once as SQL — beats_spark/testdata.py —
+so DuckDB can replicate it bit-for-bit). ML/training-data ops run on the
+``documents`` / ``embeddings`` tables. Ops whose hashing primitive has no
+DuckDB equivalent (xxhash64-based MinHash/SimHash/LSH) have no oracle entry
+and get the driver's rows-only check; their correctness is pinned by pytest
+brute-force oracles in tests/test_ml.py instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+_PREPPED: set[str] = set()
+
+
+def _prep(spark: SparkSession) -> None:
+    """UTC + ship the package to python workers (pandas-UDF stages need it
+    when the driver built its own bare SparkSession)."""
+    key = str(id(spark))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if key not in _PREPPED:
+        from beats_spark.session import ship_package
+
+        try:
+            ship_package(spark)
+        except Exception:
+            pass  # already shipped / read-only context — pandas UDFs may still work
+        _PREPPED.add(key)
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beats_spark.testdata import transcripts_from_events
+
+    _prep(spark)
+    return transcripts_from_events(spark, sf_dir)
+
+
+def _with_t(sql: str) -> str:
+    from beats_spark.testdata import TRANSCRIPTS_SQL
+
+    return f"WITH {TRANSCRIPTS_SQL} {sql}"
+
+
+# the anchored-regex equivalent of the fixture dissect/grok tokenizer, used
+# by the DuckDB oracles (dissect itself is positional, but on this corpus the
+# non-greedy regex is semantically identical)
+_RX = r'^level=(.*?) caller=(.*?) msg="(.*?)" latency_ms=(\d+)$'
+
+
+def _parsed_sql_cols() -> str:
+    return f"""
+    nullif(regexp_extract(text, '{_RX}', 1), '') AS level,
+    nullif(regexp_extract(text, '{_RX}', 2), '') AS caller,
+    CASE WHEN regexp_matches(text, '{_RX}')
+         THEN regexp_extract(text, '{_RX}', 3) END AS msg,
+    CAST(nullif(regexp_extract(text, '{_RX}', 4), '') AS INTEGER) AS latency
+    """
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_transcripts_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input harvest: events → transcript shape (log input scan,
+    filebeat/input/log/input.go:213 analogue)."""
+    return _transcripts(spark, sf_dir)
+
+
+def _dissected(spark, sf_dir, target="parsed"):
+    from beats_spark.processors import apply_chain, build_chain
+
+    stages = build_chain([
+        {"dissect": {
+            "tokenizer": 'level=%{level} caller=%{caller} msg="%{msg}" '
+                         'latency_ms=%{latency|integer}',
+            "field": "text", "target_prefix": target, "ignore_failure": True,
+        }},
+    ])
+    return apply_chain(_transcripts(spark, sf_dir), stages)
+
+
+def q_dissect_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dissect processor (libbeat/processors/dissect) with typed conversion;
+    malformed rows yield nulls."""
+    df = _dissected(spark, sf_dir)
+    return df.select(
+        "conv_id", "turn_idx",
+        F.col("parsed.level").alias("level"),
+        F.col("parsed.caller").alias("caller"),
+        F.col("parsed.msg").alias("msg"),
+        F.col("parsed.latency").cast("int").alias("latency"),
+    )
+
+
+def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grok pattern → anchored regex, pure JVM regexp_extract (no Python)."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    stages = build_chain([
+        {"grok": {
+            "pattern": 'level=%{WORD:level} caller=%{NOTSPACE:caller} '
+                       'msg="%{DATA:msg}" latency_ms=%{INT:latency:long}',
+            "field": "text", "target_prefix": "g",
+        }},
+    ])
+    df = apply_chain(_transcripts(spark, sf_dir), stages)
+    return df.select(
+        "conv_id", "turn_idx",
+        F.col("g.level").alias("level"),
+        F.col("g.caller").alias("caller"),
+        F.col("g.msg").alias("msg"),
+        F.col("g.latency").cast("long").alias("latency"),
+    )
+
+
+def q_conditions_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The condition language (libbeat/conditions): equals/contains/regexp/
+    range/and/or/not compiled to ONE Catalyst predicate."""
+    from beats_spark.conditions import compile_condition
+
+    df = _dissected(spark, sf_dir)
+    cond = compile_condition(df, {
+        "and": [
+            {"or": [{"equals": {"role": "user"}},
+                    {"equals": {"role": "assistant"}}]},
+            {"range": {"parsed.latency": {"gte": 1000, "lt": 40000}}},
+            {"contains": {"parsed.msg": "tool call"}},
+            {"not": {"regexp": {"parsed.level": "^err"}}},
+        ]
+    })
+    return (
+        df.filter(cond)
+        .groupBy("tool")
+        .agg(F.count("*").alias("n"), F.sum("parsed.latency").alias("sum_latency"))
+    )
+
+
+def q_drop_event_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_event under ``when`` (actions/drop_event.go + conditionals.go)."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    stages = build_chain([
+        {"drop_event": {"when": {"equals": {"role": "system"}}}},
+    ])
+    df = apply_chain(_transcripts(spark, sf_dir), stages)
+    return df.groupBy("role").agg(F.count("*").alias("n"))
+
+
+def q_include_exclude_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """include_lines/exclude_lines regex keep/drop filters
+    (filebeat/input/log/harvester.go:497-514)."""
+    df = _transcripts(spark, sf_dir)
+    kept = df.filter(F.col("text").rlike("^level=")).filter(
+        ~F.col("text").rlike("level=error")
+    )
+    return kept.groupBy("role").agg(F.count("*").alias("n"))
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full fixture pipeline (dissect → drop_event → add_fields → rename
+    → fingerprint → if/then tags) + outil.Selector routing; per-sink counts
+    = the events_routed metric (pipeline/monitoring.go analogue)."""
+    from beats_spark.pipeline import Pipeline, fixture_config
+
+    pipe = Pipeline(spark, fixture_config())
+    out = pipe.transform(_transcripts(spark, sf_dir))
+    return out.groupBy(F.col("_sink").alias("sink")).agg(F.count("*").alias("events_routed"))
+
+
+def q_routed_rows_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed-row equality on one sink: per-turn text preserved under stable
+    (conv_id, turn_idx) — the BASELINE.json per-row invariant."""
+    from beats_spark.pipeline import Pipeline, fixture_config
+
+    pipe = Pipeline(spark, fixture_config())
+    out = pipe.transform(_transcripts(spark, sf_dir))
+    return out.filter(F.col("_sink") == "sink_search").select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+
+
+def q_selector_fmtstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """%{[field]} event-format strings + mappings + default + when
+    (outil/select.go, common/fmtstr) — first-non-empty-wins rule list."""
+    from beats_spark.selector import compile_selector
+
+    df = _transcripts(spark, sf_dir)
+    sink = compile_selector(df, [
+        {"sink": "role-%{[role]}", "when": {"equals": {"tool": "mcp-custom"}}},
+        {"sink": "%{[tool]}",
+         "mappings": {"search": "s_search", "code": "s_code"},
+         "default": "s_other"},
+    ])
+    return df.withColumn("sink", sink).groupBy("sink").agg(F.count("*").alias("n"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fingerprint processor: |k|v| serialization (fingerprint.go:88-110,
+    fields sorted) hashed sha256 + md5, hex."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    stages = build_chain([
+        {"fingerprint": {"fields": ["conv_id", "turn_idx", "text"],
+                         "method": "sha256", "target_field": "fp_sha"}},
+        {"fingerprint": {"fields": ["conv_id", "turn_idx", "text"],
+                         "method": "md5", "target_field": "fp_md5"}},
+    ])
+    df = apply_chain(_transcripts(spark, sf_dir), stages)
+    return df.select("conv_id", "turn_idx", "fp_sha", "fp_md5")
+
+
+def q_field_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_fields/add_tags/rename/copy_fields/drop_fields chain
+    (libbeat/processors/actions/*)."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    stages = build_chain([
+        {"add_fields": {"target": "", "fields": {"pipeline_version": "7.17"}}},
+        {"add_tags": {"tags": ["beats", "spark"]}},
+        {"add_tags": {"tags": ["hot"], "when": {"equals": {"conv_id": "conv-000000"}}}},
+        {"copy_fields": {"fields": [{"from": "role", "to": "role_copy"}]}},
+        {"rename": {"fields": [{"from": "tool", "to": "tool_name"}]}},
+        {"drop_fields": {"fields": ["ts"]}},
+    ])
+    df = apply_chain(_transcripts(spark, sf_dir), stages)
+    return df.select(
+        "conv_id", "turn_idx", "role", "role_copy", "tool_name",
+        "pipeline_version", F.array_join("tags", ",").alias("tags_joined"),
+    )
+
+
+def q_replace_truncate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replace (regex), truncate_fields (max_characters), extract_field
+    (split+index) — actions/replace.go, truncate_fields.go, extract_field.go."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    stages = build_chain([
+        {"replace": {"fields": [{"field": "text", "pattern": "tool call",
+                                 "replacement": "TOOL_CALL"}]}},
+        {"truncate_fields": {"fields": ["text"], "max_characters": 40}},
+        {"extract_field": {"field": "text", "separator": " ", "index": 0,
+                           "target": "first_token"}},
+    ])
+    df = apply_chain(_transcripts(spark, sf_dir), stages)
+    return df.select("conv_id", "turn_idx", "text", "first_token")
+
+
+def q_convert_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert processor: typed casts with try-cast failure→null
+    (convert/convert.go)."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    stages = build_chain([
+        {"convert": {"fields": [
+            {"from": "turn_idx", "to": "turn_str", "type": "string"},
+            {"from": "turn_str", "to": "turn_long", "type": "long"},
+            {"from": "text", "to": "text_num", "type": "long"},  # → null
+        ]}},
+    ])
+    df = apply_chain(_transcripts(spark, sf_dir), stages)
+    return df.select("conv_id", "turn_idx", "turn_str", "turn_long", "text_num")
+
+
+def q_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestamp processor: layout parse → UTC (timestamp/timestamp.go:86)."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    df = _transcripts(spark, sf_dir).withColumn(
+        "ts_str", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    stages = build_chain([
+        {"timestamp": {"field": "ts_str", "layouts": ["2006-01-02 15:04:05"],
+                       "target_field": "parsed_ts"}},
+    ])
+    df = apply_chain(df, stages)
+    return df.select("conv_id", "turn_idx", "parsed_ts")
+
+
+def q_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_json_fields on the raw events.props JSON
+    (actions/decode_json_fields.go)."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    _prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stages = build_chain([
+        {"decode_json_fields": {"fields": ["props"], "target": "props_obj",
+                                "schema": "k int"}},
+    ])
+    df = apply_chain(ev, stages)
+    return df.select("event_id", F.col("props_obj.k").alias("k"))
+
+
+def q_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiline reader, count_lines mode (libbeat/reader/multiline/
+    counter.go): merge every 4 turns of a conversation into one event."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    stages = build_chain([
+        {"multiline": {"count_lines": 4, "partition_by": ["conv_id"],
+                       "order_by": ["turn_idx"], "field": "text"}},
+    ])
+    df = apply_chain(_transcripts(spark, sf_dir), stages)
+    return df.select("conv_id", "turn_idx", "role", "text")
+
+
+def q_multiline_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiline pattern mode (pattern.go, negate+after): MALFORMED lines
+    glue to the previous well-formed event — the stack-trace case."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    stages = build_chain([
+        {"multiline": {"pattern": "^level=", "negate": True, "match": "after",
+                       "partition_by": ["conv_id"], "order_by": ["turn_idx"],
+                       "field": "text"}},
+    ])
+    df = apply_chain(_transcripts(spark, sf_dir), stages)
+    return df.select("conv_id", "turn_idx", "role", "text")
+
+
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate_limit processor (ratelimit/token_bucket.go) as windowed top-N:
+    ≤5 events per (tool, minute); output surviving count per tool (count is
+    tie-order independent)."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    stages = build_chain([
+        {"rate_limit": {"limit": "5/m", "fields": ["tool"], "ts_field": "ts"}},
+    ])
+    df = apply_chain(_transcripts(spark, sf_dir), stages)
+    return df.groupBy("tool").agg(F.count("*").alias("n"))
+
+
+def q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup enrichment = left broadcast join vs the tools dim
+    (dns/add_*_metadata analogue, SURVEY §2.6); miss → defaults."""
+    from beats_spark.processors import apply_chain, build_chain
+    from beats_spark.processors.enrich import register_lookup
+    from beats_spark.testdata import tools_lookup_df
+
+    register_lookup("tools", lambda: tools_lookup_df(spark))
+    stages = build_chain([
+        {"enrich": {"lookup": "tools", "on": "tool", "target": "tool_meta",
+                    "default": {"tool_family": "unknown",
+                                "tool_cost_class": "unknown"}}},
+    ])
+    df = apply_chain(_transcripts(spark, sf_dir), stages)
+    return df.groupBy(
+        F.col("tool"),
+        F.col("tool_meta.tool_family").alias("tool_family"),
+        F.col("tool_meta.tool_cost_class").alias("tool_cost_class"),
+    ).agg(F.count("*").alias("n"))
+
+
+def q_script_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script processor: user fn over Arrow pandas batches
+    (script/javascript analogue)."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    def fn(pdf):
+        pdf = pdf.copy()
+        pdf["role"] = pdf["role"].str.upper()
+        pdf["text_len"] = pdf["text"].str.len().astype("int32")
+        return pdf
+
+    _prep(spark)
+    df = _transcripts(spark, sf_dir)
+    stages = build_chain([
+        {"script": {"fn": fn,
+                    "schema": ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                                         for f in df.schema.fields)
+                    + ", text_len int"}},
+    ])
+    out = apply_chain(df, stages)
+    return out.select("conv_id", "turn_idx", "role", "text_len")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep min doc_id (training-data op)."""
+    from beats_spark.ml.dedup import exact_dedup
+
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs).select("doc_id", "text", "dup_count")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (blocked by source)."""
+    from beats_spark.ml.dedup import ngram_jaccard_pairs
+
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, block_col="source", shingle_n=3,
+                               threshold=0.12)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join).
+    xxhash64-based — no DuckDB oracle; pinned by tests/test_ml.py."""
+    from beats_spark.ml.dedup import minhash_lsh_pairs
+
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.3, bands=32)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + near-dup pairs. Rows-only (xxhash64)."""
+    from beats_spark.ml.dedup import simhash_pairs
+
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, max_hamming=12, prefix_bits=4)
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column (ANN baseline)."""
+    from beats_spark.ml.similarity import cosine_topk
+
+    _prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+         .select("embedding").first()["embedding"]]
+    return cosine_topk(emb, q, k=10, exclude_id=0).select(
+        "vec_id", (F.round(F.col("score"), 4)).alias("score4")
+    )
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (hyperplane signatures, multi-probe). Rows-only;
+    recall pinned vs brute force in tests/test_ml.py."""
+    from beats_spark.ml.similarity import lsh_topk
+
+    _prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+         .select("embedding").first()["embedding"]]
+    return lsh_topk(emb, q, k=10, probe_hamming=3, exclude_id=0)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs, brute-force within label blocks
+    (exact; the LSH-bucketed variant is q_similarity_lsh's machinery)."""
+    from beats_spark.ml.similarity import cosine
+
+    _prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("label"), v.alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos4"),
+    )
+    return pairs.filter(F.col("cos4") >= 0.35)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword/alpha features + composite."""
+    from beats_spark.ml import textstats
+
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = textstats.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        textstats.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokens."""
+    from beats_spark.ml import textstats
+
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("tok_ws"),
+        textstats.token_count_bpe(F.col("text")).alias("tok_bpe"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID: stopword-voting heuristic."""
+    from beats_spark.ml import textstats
+
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: winnowing-style min rolling hash."""
+    from beats_spark.ml import textstats
+
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", textstats.rolling_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload → mapInPandas feature extraction
+    (decode stubbed deterministically; rows-only)."""
+    from beats_spark.ml import multimodal
+
+    _prep(spark)
+    media = multimodal.synthesize_media(spark, 200)
+    out = multimodal.extract_features(media)
+    return out.select("media_id", "kind", "decode_ok",
+                      F.element_at("feature", 1).alias("f0"))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full fixture pipeline on sf0.001 → per-sink counts."""
+    return q_route_counts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts_derive": q_transcripts_derive,
+        "dissect_parse": q_dissect_parse,
+        "grok_parse": q_grok_parse,
+        "conditions_filter": q_conditions_filter,
+        "drop_event_when": q_drop_event_when,
+        "include_exclude_lines": q_include_exclude_lines,
+        "route_counts": q_route_counts,
+        "routed_rows_search": q_routed_rows_search,
+        "selector_fmtstr": q_selector_fmtstr,
+        "fingerprint": q_fingerprint,
+        "field_ops": q_field_ops,
+        "replace_truncate_extract": q_replace_truncate_extract,
+        "convert_types": q_convert_types,
+        "timestamp_parse": q_timestamp_parse,
+        "decode_json": q_decode_json,
+        "multiline_merge": q_multiline_merge,
+        "multiline_pattern": q_multiline_pattern,
+        "rate_limit": q_rate_limit,
+        "enrich_lookup": q_enrich_lookup,
+        "script_mapinpandas": q_script_mapinpandas,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_topk": q_similarity_topk,
+        "similarity_lsh": q_similarity_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from beats_spark.ml.textstats import STOPWORDS, TOKEN_REGEX
+    from beats_spark.testdata import tools_lookup_sql
+
+    def sw_hits(lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (
+            "len(list_filter(list_transform("
+            "list_filter(string_split_regex(text, '\\s+'), x -> x != ''),"
+            f" x -> lower(x)), x -> x IN ({lst})))"
+        )
+
+    toks = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+
+    # the fixture pipeline's routing as SQL (mappings over %{[tool]},
+    # default sink_other, system rows dropped)
+    route_case = """
+      CASE WHEN tool = 'search' THEN 'sink_search'
+           WHEN tool = 'code' THEN 'sink_code'
+           WHEN tool = 'browser' THEN 'sink_browser'
+           ELSE 'sink_other' END
     """
-    return {}
+
+    # |k|v| serialization of sorted fields [conv_id, text, turn_idx]
+    fp_ser = ("'|conv_id|' || conv_id || '|text|' || text || "
+              "'|turn_idx|' || CAST(turn_idx AS VARCHAR) || '|'")
+
+    word_hash = "list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split({w}, ''), c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % 2147483647)"
+    shingle_hash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_slice(toks, i + 1, i + 5), w -> "
+        + word_hash.format(w="w")
+        + ")), (a, h) -> (a * 1000003 + h) % 2147483647)"
+    )
+
+    return {
+        "transcripts_derive": _with_t("SELECT * FROM transcripts"),
+        "dissect_parse": _with_t(
+            f"SELECT conv_id, turn_idx, {_parsed_sql_cols()} FROM transcripts"
+        ),
+        "grok_parse": _with_t(
+            f"""SELECT conv_id, turn_idx,
+                nullif(regexp_extract(text, '{_RX}', 1), '') AS level,
+                nullif(regexp_extract(text, '{_RX}', 2), '') AS caller,
+                CASE WHEN regexp_matches(text, '{_RX}')
+                     THEN regexp_extract(text, '{_RX}', 3) END AS msg,
+                CAST(nullif(regexp_extract(text, '{_RX}', 4), '') AS BIGINT) AS latency
+                FROM transcripts"""
+        ),
+        "conditions_filter": _with_t(
+            f""", p AS (SELECT *, {_parsed_sql_cols()} FROM transcripts)
+            SELECT tool, count(*) AS n, sum(latency) AS sum_latency FROM p
+            WHERE role IN ('user', 'assistant')
+              AND latency >= 1000 AND latency < 40000
+              AND msg LIKE '%tool call%'
+              AND NOT regexp_matches(level, '^err')
+            GROUP BY tool"""
+        ),
+        "drop_event_when": _with_t(
+            "SELECT role, count(*) AS n FROM transcripts "
+            "WHERE NOT role = 'system' GROUP BY role"
+        ),
+        "include_exclude_lines": _with_t(
+            "SELECT role, count(*) AS n FROM transcripts "
+            "WHERE regexp_matches(text, '^level=') "
+            "AND NOT regexp_matches(text, 'level=error') GROUP BY role"
+        ),
+        "route_counts": _with_t(
+            f"SELECT {route_case} AS sink, count(*) AS events_routed "
+            "FROM transcripts WHERE role != 'system' GROUP BY 1"
+        ),
+        "routed_rows_search": _with_t(
+            "SELECT conv_id, turn_idx, role, text, tool FROM transcripts "
+            "WHERE role != 'system' AND tool = 'search'"
+        ),
+        "selector_fmtstr": _with_t(
+            """SELECT CASE WHEN tool = 'mcp-custom' THEN 'role-' || role
+                    WHEN tool = 'search' THEN 's_search'
+                    WHEN tool = 'code' THEN 's_code'
+                    ELSE 's_other' END AS sink, count(*) AS n
+               FROM transcripts GROUP BY 1"""
+        ),
+        "fingerprint": _with_t(
+            f"""SELECT conv_id, turn_idx,
+                sha256({fp_ser}) AS fp_sha, md5({fp_ser}) AS fp_md5
+                FROM transcripts"""
+        ),
+        "field_ops": _with_t(
+            """SELECT conv_id, turn_idx, role, role AS role_copy,
+               tool AS tool_name, '7.17' AS pipeline_version,
+               CASE WHEN conv_id = 'conv-000000'
+                    THEN 'beats,spark,hot' ELSE 'beats,spark' END AS tags_joined
+               FROM transcripts"""
+        ),
+        "replace_truncate_extract": _with_t(
+            """SELECT conv_id, turn_idx,
+               substring(regexp_replace(text, 'tool call', 'TOOL_CALL', 'g'), 1, 40) AS text,
+               string_split(substring(regexp_replace(text, 'tool call', 'TOOL_CALL', 'g'), 1, 40), ' ')[1] AS first_token
+               FROM transcripts"""
+        ),
+        "convert_types": _with_t(
+            """SELECT conv_id, turn_idx,
+               CAST(turn_idx AS VARCHAR) AS turn_str,
+               CAST(turn_idx AS BIGINT) AS turn_long,
+               TRY_CAST(text AS BIGINT) AS text_num
+               FROM transcripts"""
+        ),
+        "timestamp_parse": _with_t(
+            """SELECT conv_id, turn_idx,
+               strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed_ts
+               FROM transcripts"""
+        ),
+        "decode_json": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
+            "FROM events"
+        ),
+        "multiline_merge": _with_t(
+            """SELECT conv_id, min(turn_idx) AS turn_idx,
+               arg_min(role, turn_idx) AS role,
+               string_agg(text, chr(10) ORDER BY turn_idx) AS text
+               FROM transcripts GROUP BY conv_id, turn_idx // 4"""
+        ),
+        "multiline_pattern": _with_t(
+            """, flagged AS (
+                 SELECT *, CASE WHEN NOT regexp_matches(text, '^level=')
+                                     AND row_number() OVER w > 1
+                                THEN 0 ELSE 1 END AS start
+                 FROM transcripts
+                 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+               ), grp AS (
+                 SELECT *, sum(start) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gid
+                 FROM flagged
+               )
+               SELECT conv_id, min(turn_idx) AS turn_idx,
+                      arg_min(role, turn_idx) AS role,
+                      string_agg(text, chr(10) ORDER BY turn_idx) AS text
+               FROM grp GROUP BY conv_id, gid"""
+        ),
+        "rate_limit": _with_t(
+            """, rn AS (
+                 SELECT tool, row_number() OVER (
+                   PARTITION BY tool, date_trunc('minute', ts)
+                   ORDER BY ts) AS r
+                 FROM transcripts)
+               SELECT tool, count(*) AS n FROM rn WHERE r <= 5 GROUP BY tool"""
+        ),
+        "enrich_lookup": _with_t(
+            f""", {tools_lookup_sql()}
+            SELECT t.tool,
+                   coalesce(l.tool_family, 'unknown') AS tool_family,
+                   coalesce(l.tool_cost_class, 'unknown') AS tool_cost_class,
+                   count(*) AS n
+            FROM transcripts t LEFT JOIN tools_lookup l USING (tool)
+            GROUP BY 1, 2, 3"""
+        ),
+        "script_mapinpandas": _with_t(
+            "SELECT conv_id, turn_idx, upper(role) AS role, "
+            "CAST(length(text) AS INTEGER) AS text_len FROM transcripts"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, text, count(*) AS dup_count "
+            "FROM documents GROUP BY text"
+        ),
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS (
+              SELECT doc_id, source,
+                list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                  for i in range(0, len(toks) - 2)]) AS s
+              FROM (SELECT doc_id, source, {toks} AS toks FROM documents)
+              WHERE len(toks) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.12
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id,
+                     list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv)
+                     / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                              list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                        * sqrt(list_dot_product(q.qv, q.qv))) AS s
+              FROM embeddings, q WHERE vec_id != 0)
+            SELECT vec_id, round(round(s, 6), 4) AS score4
+            FROM scored ORDER BY s DESC, vec_id LIMIT 10
+        """,
+        "embedding_neardup": """
+            WITH v AS (SELECT vec_id AS id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 4) AS cos4
+            FROM v a JOIN v b ON a.label = b.label AND a.id < b.id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+        """,
+        "text_quality": f"""
+            WITH f AS (
+              SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len({toks}) AS INTEGER) AS n_tokens,
+                round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1), 6) AS alpha_ratio,
+                round(CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1), 6) AS punct_ratio,
+                round(CAST({sw_hits('en')} AS DOUBLE)
+                      / greatest(len({toks}), 1), 6) AS stopword_ratio
+              FROM documents)
+            SELECT doc_id, n_chars, n_tokens, alpha_ratio, stopword_ratio,
+              round((
+                (CASE WHEN n_tokens >= 20 THEN 1.0 WHEN n_tokens >= 5 THEN 0.5 ELSE 0.0 END)
+                + (CASE WHEN alpha_ratio >= 0.6 THEN 1.0 ELSE alpha_ratio / 0.6 END)
+                + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.5 END)
+                + (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.5 END)
+              ) / 4.0, 6) AS quality
+            FROM f
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+              CAST(len({toks}) AS INTEGER) AS tok_ws,
+              CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INTEGER) AS tok_bpe
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH h AS (
+              SELECT doc_id,
+                {sw_hits('en')} AS en, {sw_hits('de')} AS de,
+                {sw_hits('fr')} AS fr, {sw_hits('es')} AS es
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                   WHEN en = greatest(en, de, fr, es) THEN 'en'
+                   WHEN de = greatest(en, de, fr, es) THEN 'de'
+                   WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                   ELSE 'es' END AS lang_guess
+            FROM h
+        """,
+        "doc_fingerprint": f"""
+            WITH w AS (SELECT doc_id, {toks} AS toks FROM documents)
+            SELECT doc_id,
+              CASE WHEN len(toks) >= 5 THEN
+                list_min([{shingle_hash} for i in range(0, len(toks) - 4)])
+              ELSE
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(toks, w -> {word_hash.format(w='w')})),
+                  (a, h) -> (a * 1000003 + h) % 2147483647)
+              END AS fp
+            FROM w
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from beats_spark.session import get_spark
+
+    s = get_spark("entry_smoke", master="local[8]")
+    entry(s).show(10, truncate=False)

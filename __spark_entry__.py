@@ -413,7 +413,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beats_spark.ml.dedup import minhash_lsh_pairs
 
     _prep(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the tiny parquet arrives as ONE split; the signature pass is the heavy
+    # stage (num_hashes × shingles xxhash calls per row) so spread it first
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism)
     return minhash_lsh_pairs(docs, jaccard_threshold=0.3, bands=32)
 
 
@@ -422,7 +425,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beats_spark.ml.dedup import simhash_pairs
 
     _prep(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism)
     return simhash_pairs(docs, max_hamming=12, prefix_bits=4)
 
 

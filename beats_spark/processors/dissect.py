@@ -418,6 +418,52 @@ def _build_exact_udf(t: Tokenizer, trim_mode: str, trim_chars: str):
     return udf, result_type
 
 
+# -- JVM fast path -----------------------------------------------------------
+
+def jvm_eligible(t: Tokenizer, trim_mode: str) -> bool:
+    """True when the tokenizer needs none of the Python-side machinery:
+    static (no indirect/pointer), no append joins, no trim, and only types
+    whose Go parse semantics a plain Spark cast reproduces (the pandas path
+    also accepts 0x-hex ints and Go bool spellings — regex-rare cases)."""
+    if t.dynamic or trim_mode != "none":
+        return False
+    for k in t.keys:
+        if k.kind == "append":
+            return False
+        if k.dtype not in ("", "integer", "long", "float", "double"):
+            return False
+    return True
+
+
+def build_jvm_columns(t: Tokenizer, col: Column):
+    """Compile the tokenizer to ONE anchored Java regex evaluated entirely
+    inside whole-stage codegen: ``rlike`` for the failure flag + one
+    ``regexp_extract`` per output key. Zero Python, no Arrow transfer —
+    dissect at the speed of the JVM (the reference's compile-once positional
+    scanner, dissect.go:104-181, re-expressed as a codegen'd regex).
+
+    Returns (failed: Column, payload: struct Column).
+    """
+    pattern, group_names = compile_regex(t)
+    # Python named groups → plain groups for Java (names match (?P<gN>...))
+    java_rx = "(?s)" + re.sub(r"\(\?P<g\d+>", "(", pattern.pattern)
+    gidx = {name: i + 1 for i, name in enumerate(group_names)}
+    key_by_id = {k.id: k for k in t.keys}
+    matched = col.isNotNull() & (col != "") & col.rlike(java_rx)
+
+    cast_map = {"integer": "int", "long": "bigint",
+                "float": "float", "double": "double"}
+    cols = []
+    for k in sorted((k for k in t.keys if k.kind == "normal"),
+                    key=lambda k: k.id):
+        v = F.regexp_extract(col, java_rx, gidx[f"g{k.id}"])
+        if k.dtype:
+            v = F.rtrim(v).try_cast(cast_map[k.dtype])  # Go rstrips first
+        cols.append(F.when(matched, v).alias(k.name))
+    del key_by_id
+    return ~matched, F.struct(*cols)
+
+
 # -- Stage -------------------------------------------------------------------
 
 @register("dissect")
@@ -429,10 +475,24 @@ def dissect(cfg: dict[str, Any]) -> Stage:
     overwrite_keys = cfg.get("overwrite_keys", False)
     trim_mode = cfg.get("trim_values", "none")
     trim_chars = cfg.get("trim_chars", " ")
-    engine = cfg.get("engine", "regex")
+    # engine: auto → pure-JVM regex when the pattern needs no Python-side
+    # machinery (UDFs are the slow path); pandas → always Arrow UDF;
+    # regex/exact → legacy names for the two pandas strategies.
+    engine = cfg.get("engine", "auto")
 
-    udf, result_type = build_extractor(tokenizer, trim_mode, trim_chars, engine)
-    is_dynamic = "_map" in [f.name for f in result_type.fields]
+    t = parse_tokenizer(tokenizer)
+    use_jvm = engine in ("auto", "jvm") and jvm_eligible(t, trim_mode)
+    if engine == "jvm" and not use_jvm:
+        raise ValueError("dissect: tokenizer not JVM-eligible (has append/"
+                         "indirect/trim/ip/bool features)")
+    if use_jvm:
+        udf, result_type = None, None
+        is_dynamic = False
+    else:
+        pandas_engine = "regex" if engine in ("auto", "jvm", "pandas") else engine
+        udf, result_type = build_extractor(tokenizer, trim_mode, trim_chars,
+                                           pandas_engine)
+        is_dynamic = "_map" in [f.name for f in result_type.fields]
 
     class Dissect(Stage):
         def apply(self, df: DataFrame, cond: Column | None = None) -> DataFrame:
@@ -442,18 +502,26 @@ def dissect(cfg: dict[str, Any]) -> Stage:
                 raise ValueError(
                     f"dissect: target_prefix {target!r} exists (set overwrite_keys)"
                 )
-            raw = udf(get_path(df, src).cast("string"))
-            tmp = "__dissect_raw"
-            df = df.withColumn(tmp, raw)
-            failed = F.coalesce(F.col(f"{tmp}._failed"), F.lit(True))
+            src_col = get_path(df, src).cast("string")
+            tmp = None
+            if use_jvm:
+                failed, payload = build_jvm_columns(t, src_col)
+                out_names = [k.name for k in t.keys if k.kind == "normal"]
+            else:
+                tmp = "__dissect_raw"
+                df = df.withColumn(tmp, udf(src_col))
+                failed = F.coalesce(F.col(f"{tmp}._failed"), F.lit(True))
+                if is_dynamic:
+                    payload = F.col(f"{tmp}._map")
+                    out_names = []
+                else:
+                    out_names = [f.name for f in result_type.fields
+                                 if f.name != "_failed"]
+                    payload = F.struct(
+                        *[F.col(f"{tmp}.{n}").alias(n) for n in out_names]
+                    )
             if cond is not None:
                 failed = cond & failed
-            if is_dynamic:
-                payload = F.col(f"{tmp}._map")
-            else:
-                names = [f.name for f in result_type.fields if f.name != "_failed"]
-                payload = F.struct(*[F.col(f"{tmp}.{n}").alias(n) for n in names])
-            if cond is not None:
                 payload = F.when(cond & ~failed, payload)
             else:
                 payload = F.when(~failed, payload)
@@ -462,8 +530,7 @@ def dissect(cfg: dict[str, Any]) -> Stage:
                 df = with_path(df, target, payload)
             else:
                 # merge at root (target_prefix: "")
-                names = [f.name for f in result_type.fields if f.name != "_failed"]
-                for n in names:
+                for n in out_names:
                     if has_path(df.schema, n) and not overwrite_keys:
                         raise ValueError(f"dissect: key {n!r} exists at root")
                     df = df.withColumn(n, payload.getField(n))
@@ -474,6 +541,6 @@ def dissect(cfg: dict[str, Any]) -> Stage:
                     failed, F.lit(f"dissect: parsing failure (tokenizer={tokenizer})")
                 ).otherwise(get_path(df, "error.message"))
                 df = with_path(df, "error.message", err)
-            return df.drop(tmp)
+            return df.drop(tmp) if tmp else df
 
     return Dissect()

@@ -57,16 +57,24 @@ def synthesize_transcripts(
     """Deterministic transcripts with Zipf-ish skew.
 
     ``hot_frac`` of all turns land on conv 0 (the hot key); the rest spread
-    uniformly. turn_idx is dense 0..len-1 per conv_id; ts increases with
-    turn_idx (monotone per conversation, UTC).
+    round-robin over convs 1..n_convs-1. turn_idx is dense 0..len-1 per
+    conv_id and computed ARITHMETICALLY from the row id — no window, no
+    shuffle: generation is a pure map over ``spark.range`` and scales
+    linearly with cores (a windowed row_number would serialize the hot
+    conversation through one task).
     """
+    n_hot = int(n_turns * hot_frac)
+    rest = n_turns - n_hot
+    others = max(n_convs - 1, 1)
     df = spark.range(0, n_turns, 1, partitions or spark.sparkContext.defaultParallelism)
     rid = F.col("id")
 
-    is_hot = (F.pmod(_h(rid, 1), F.lit(1000)) < F.lit(int(hot_frac * 1000)))
-    conv_num = F.when(is_hot, F.lit(0)).otherwise(
-        F.pmod(_h(rid, 2), F.lit(n_convs - 1)) + 1
-    )
+    is_hot = rid < n_hot
+    r = rid - n_hot  # id within the non-hot range
+    conv_num = F.when(is_hot, F.lit(0)).otherwise(F.pmod(r, F.lit(others)) + 1)
+    # round-robin ⇒ conv c (c≥1) receives r = c-1, c-1+others, ... so
+    # r // others is its dense 0-based turn index
+    turn_idx = F.when(is_hot, rid).otherwise(F.floor(r / F.lit(others))).cast("int")
     conv_id = F.concat(F.lit("conv-"), F.lpad(conv_num.cast("string"), 6, "0"))
 
     role = _pick(rid, 3, ROLES)
@@ -89,20 +97,16 @@ def synthesize_transcripts(
         malformed,
     ).otherwise(well_formed)
 
-    out = df.select(
+    ts = F.timestamp_seconds(
+        F.unix_timestamp(F.lit("2026-01-01 00:00:00")) + turn_idx.cast("long") * 7
+    )
+    return df.select(
         conv_id.alias("conv_id"),
-        rid.alias("_rid"),
+        turn_idx.alias("turn_idx"),
         role.alias("role"),
         text.alias("text"),
         tool.alias("tool"),
-    )
-    w = Window.partitionBy("conv_id").orderBy("_rid")
-    out = out.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
-    ts = F.timestamp_seconds(
-        F.unix_timestamp(F.lit("2026-01-01 00:00:00")) + F.col("turn_idx") * 7
-    )
-    return out.withColumn("ts", ts).select(
-        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        ts.alias("ts"),
     )
 
 

@@ -1,0 +1,217 @@
+"""Bench harness.
+
+Prints ONE JSON line:
+  {"metric": "end_to_end_pipeline_sec", "value": <sec>, "unit": "sec",
+   "queries": {<name>: <sec>, ...}, "sf": <sf>,
+   "throughput_turns_per_sec": <r/s>,
+   "scaling": {"cores_n": 8, "cores_4n": 32, "throughput_n": ..,
+               "throughput_4n": .., "efficiency": ..}}
+
+Two parts:
+1. headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+   on local[$SPARK_GRAFT_CPUS] — per-query wall seconds.
+2. the BASELINE.json scaling criterion, evidenced in-sandbox: the SAME
+   deterministic e2e job (synthesize → dissect/enrich/fingerprint/route →
+   partitioned fan-out write) at local[8] and local[32] in separate JVMs
+   (subprocess per level, cold JVM each, timing excludes session startup);
+   efficiency = (thr_4N / thr_N) / 4.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+BENCH_TURNS (default 1_000_000), BENCH_SKIP_SCALING=1 to skip part 2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "16000000"))
+
+HEADLINE = [
+    "transcripts_derive",
+    "dissect_parse",
+    "grok_parse",
+    "route_counts",
+    "fingerprint",
+    "multiline_merge",
+    "rate_limit",
+    "enrich_lookup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_quality",
+]
+
+
+def _scale_pipeline(spark):
+    """The measured pipeline: fixture chain (dissect JVM fast path,
+    drop_event, add_fields, rename, fingerprint sha256, if/then tags) +
+    enrich broadcast join + selector routing."""
+    from beats_spark.pipeline import Pipeline, fixture_config
+    from beats_spark.processors.enrich import register_lookup
+    from beats_spark.testdata import tools_lookup_df
+
+    register_lookup("tools", lambda: tools_lookup_df(spark))
+    cfg = fixture_config()
+    cfg.processors.append(
+        {"enrich": {"lookup": "tools", "on": "tool", "target": "tool_meta",
+                    "default": {"tool_family": "unknown"}}}
+    )
+    return Pipeline(spark, cfg)
+
+
+def _e2e_job(spark, pipe, src_dir: str, out_dir: str) -> None:
+    """One timed run: read transcript parquet → parse→enrich→route →
+    single-pass partitioned fan-out write (the production shape: input is a
+    table, not an in-flight generator)."""
+    routed = pipe.transform(spark.read.parquet(src_dir))
+    routed.write.partitionBy("_sink").mode("overwrite").parquet(out_dir)
+
+
+def _worker(cores: int) -> None:
+    """Run the e2e job at local[cores]; print one JSON line.
+
+    Methodology: K repetitions of the identical job, report the MIN —
+    the sandbox host is burstable/throttled and single runs swing 2-5×;
+    the minimum is the reproducible steady-state figure. The first run
+    (JIT tiered-compilation + codegen + python worker pool spin-up) always
+    acts as warmup and is never the min in practice. Heap is pinned
+    (-Xms=-Xmx, AlwaysPreTouch) so G1 never pays growth pauses mid-run, and
+    sinks write to tmpfs so the sandbox's single shared disk doesn't fake a
+    scaling ceiling a per-node-disk cluster wouldn't have."""
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    from beats_spark.session import get_spark
+
+    mem = os.environ["SPARK_DRIVER_MEMORY"]
+    spark = get_spark(
+        f"bench_scale_{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch",
+            # v2 committer: per-task file moves instead of a serial driver-side
+            # commit loop — shrinks the Amdahl serial fraction of the fan-out
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+        },
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    reps = int(os.environ.get("BENCH_REPS", "6"))
+    from beats_spark.testdata import synthesize_transcripts
+
+    src = tempfile.mkdtemp(prefix=f"bench_src_{cores}_", dir=shm)
+    synthesize_transcripts(
+        spark, BENCH_TURNS, max(1000, BENCH_TURNS // 200), partitions=64
+    ).write.mode("overwrite").parquet(src)
+    pipe = _scale_pipeline(spark)
+    times = []
+    try:
+        for _ in range(reps):
+            out = tempfile.mkdtemp(prefix=f"bench_sinks_{cores}_", dir=shm)
+            try:
+                t0 = time.perf_counter()
+                _e2e_job(spark, pipe, src, out)
+                times.append(time.perf_counter() - t0)
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    dt = min(times)
+    print(json.dumps({"cores": cores, "sec": dt, "turns": BENCH_TURNS,
+                      "throughput": BENCH_TURNS / dt,
+                      "all_secs": [round(t, 2) for t in times]}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        _worker(int(sys.argv[2]))
+        return
+
+    import __spark_entry__ as entry_mod
+    from beats_spark.session import get_spark
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    # end-to-end pipeline run at SF_DIR scale (events-derived transcripts)
+    t0 = time.perf_counter()
+    out = tempfile.mkdtemp(prefix="bench_e2e_")
+    try:
+        from beats_spark.pipeline import Pipeline, fixture_config
+        from beats_spark.testdata import transcripts_from_events
+
+        pipe = Pipeline(spark, fixture_config())
+        routed = pipe.transform(transcripts_from_events(spark, SF_DIR))
+        routed.write.partitionBy("_sink").mode("overwrite").parquet(out)
+        n_rows_e2e = spark.read.parquet(out).count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    e2e_sec = round(time.perf_counter() - t0, 3)
+    times["pipeline_e2e_fanout"] = e2e_sec
+    spark.stop()
+
+    result = {
+        "metric": "end_to_end_pipeline_sec",
+        "value": e2e_sec,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "e2e_rows": n_rows_e2e,
+    }
+
+    if os.environ.get("BENCH_SKIP_SCALING") != "1":
+        levels = [int(x) for x in
+                  os.environ.get("BENCH_LEVELS", "8,32").split(",")]
+        scaling: dict[int, dict] = {}
+        for cores in levels:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+                capture_output=True, text=True, timeout=3600,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                print(f"# worker {cores} failed: {proc.stderr[-500:]}",
+                      file=sys.stderr)
+                continue
+            scaling[cores] = json.loads(lines[-1])
+            print(f"# scale local[{cores}]: {scaling[cores]}", file=sys.stderr)
+        if len(scaling) >= 2:
+            lo, hi = min(scaling), max(scaling)
+            thr_n, thr_4n = scaling[lo]["throughput"], scaling[hi]["throughput"]
+            result["throughput_turns_per_sec"] = round(thr_4n, 1)
+            result["scaling"] = {
+                "cores_n": lo, "cores_4n": hi,
+                "turns": BENCH_TURNS,
+                "sec_n": round(scaling[lo]["sec"], 3),
+                "sec_4n": round(scaling[hi]["sec"], 3),
+                "all_secs_n": scaling[lo].get("all_secs"),
+                "all_secs_4n": scaling[hi].get("all_secs"),
+                "throughput_n": round(thr_n, 1),
+                "throughput_4n": round(thr_4n, 1),
+                "efficiency": round((thr_4n / thr_n) / (hi / lo), 3),
+            }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -151,3 +151,25 @@ def test_synthesize_transcripts_deterministic(spark):
     g = pa.groupby("conv_id")["turn_idx"]
     assert (g.min() == 0).all()
     assert (g.max() + 1 == g.count()).all()
+
+
+def test_dissect_jvm_pandas_engines_agree(spark, transcripts):
+    """The JVM fast path (anchored regex, codegen) and the pandas-UDF path
+    must produce identical structs on eligible tokenizers."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    tok = ('level=%{level} caller=%{caller} msg="%{msg}" '
+           'latency_ms=%{latency|integer}')
+    outs = []
+    for engine in ("jvm", "pandas"):
+        stages = build_chain([
+            {"dissect": {"tokenizer": tok, "field": "text",
+                         "target_prefix": "p", "ignore_failure": True,
+                         "engine": engine}},
+        ])
+        df = apply_chain(transcripts, stages)
+        outs.append(
+            df.select("conv_id", "turn_idx", "p.*")
+            .orderBy("conv_id", "turn_idx").toPandas()
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])

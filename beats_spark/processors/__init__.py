@@ -17,5 +17,6 @@ from beats_spark.processors import dissect  # noqa: F401,E402
 from beats_spark.processors import enrich  # noqa: F401,E402
 from beats_spark.processors import fingerprint  # noqa: F401,E402
 from beats_spark.processors import grok  # noqa: F401,E402
+from beats_spark.processors import misc  # noqa: F401,E402
 from beats_spark.processors import script  # noqa: F401,E402
 from beats_spark.processors import stateful  # noqa: F401,E402

@@ -1,0 +1,68 @@
+"""Kafka source/sink wiring (outputs/kafka + filebeat kafka input).
+
+This sandbox has no broker and no spark-sql-kafka artifact, so the IO call
+is gated; what IS tested is the config translation — the part with
+reference semantics:
+
+- topic selection: the selector column (outil.Selector) becomes the
+  ``topic`` column of the writer frame (outputs/kafka/client.go:190-202);
+- message key: a fmtstr compiled to the ``key`` column (config.go:53);
+- ``partition.hash`` on fields ≡ repartition by hash of those columns
+  (partition.go:65-76,216) — Kafka's default partitioner hashes the key, so
+  emitting the hash fields AS the key reproduces hash partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def kafka_reader_options(cfg: dict[str, Any]) -> dict[str, str]:
+    """filebeat kafka input config → spark.readStream.format("kafka") opts."""
+    opts = {
+        "kafka.bootstrap.servers": ",".join(cfg.get("hosts", [])),
+        "subscribe": ",".join(
+            cfg["topics"] if isinstance(cfg.get("topics"), list)
+            else [cfg.get("topics", "")]
+        ),
+        "startingOffsets": {"oldest": "earliest", "newest": "latest"}.get(
+            cfg.get("initial_offset", "oldest"), "earliest"),
+    }
+    if cfg.get("group_id"):
+        opts["kafka.group.id"] = cfg["group_id"]
+    if cfg.get("max_batch_size"):
+        opts["maxOffsetsPerTrigger"] = str(cfg["max_batch_size"])
+    return {k: v for k, v in opts.items() if v}
+
+
+def kafka_writer_frame(df: DataFrame, *, topic_col: str = "_sink",
+                       key_fmtstr: str | None = None,
+                       hash_fields: list[str] | None = None) -> DataFrame:
+    """Shape a routed frame for ``df.write.format("kafka")``: columns
+    (topic, key, value). value = JSON of the payload (codec json,
+    outputs/codec/json)."""
+    from beats_spark.fmtstr import compile_fmtstr
+
+    payload_cols = [c for c in df.columns if not c.startswith("_")]
+    value = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+    if hash_fields:
+        key = F.concat_ws("|", *[F.col(f).cast("string") for f in hash_fields])
+    elif key_fmtstr:
+        key = compile_fmtstr(df, key_fmtstr)
+    else:
+        key = F.lit(None).cast("string")
+    return df.select(
+        F.col(topic_col).alias("topic"),
+        key.alias("key"),
+        value.alias("value"),
+    )
+
+
+def write_kafka(df: DataFrame, bootstrap: str, **writer_frame_kwargs) -> None:
+    """Gated IO: requires the spark-sql-kafka package on the classpath."""
+    out = kafka_writer_frame(df, **writer_frame_kwargs)
+    (out.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .save())

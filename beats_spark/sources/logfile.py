@@ -1,0 +1,139 @@
+"""The log-file input: glob → lines → (decode) → (ndjson) → filters →
+(multiline), as one declarative plan.
+
+Reference path: filebeat/input/log/input.go:213 (``Run`` scans paths,
+``matchesFile`` :363 applies include/exclude file filters) → harvester
+(harvester.go:241) reads one file through the reader chain
+(harvester.go:640-707: line → encode → json → strip_newline → multiline →
+limit) and stamps ``message``, ``log.offset``, ``log.file.path``
+(harvester.go:413-477 ``onMessage``).
+
+Spark mapping:
+- file discovery = the DataSource file index (``spark.read.text(paths)``
+  with ``pathGlobFilter``/``recursiveFileLookup``) — pruning and task
+  parallelism come from the scan, one task per split ≡ one harvester;
+- ``log.file.path`` = ``F.input_file_name()``; ``log.offset`` (byte offset
+  is not exposed by the text source) is represented as the stable line
+  ordinal per file via a window over the split-local order;
+- ndjson = ``F.from_json`` with ``keys_under_root``/``overwrite_keys``/
+  ``add_error_key`` semantics (libbeat/reader/readjson/json.go:46-119);
+- include/exclude_lines = ``rlike`` filters (harvester.go:497-514);
+- multiline = the multiline Stage (libbeat/reader/multiline) keyed on the
+  file path, ordered by the line ordinal;
+- ``max_bytes`` = ``F.substring`` clamp (reader/readfile line limit).
+
+At 100 TB: the scan parallelizes by file split; the ONLY shuffle is the
+optional multiline sessionization (keyed by file), which is unavoidable
+state and is bounded per file.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def read_log_files(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    glob: str | None = None,
+    encoding: str | None = None,
+    json: dict[str, Any] | None = None,
+    json_schema: str | None = None,
+    include_lines: list[str] | None = None,
+    exclude_lines: list[str] | None = None,
+    multiline: dict[str, Any] | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Read log files into the event envelope:
+    ``message string, log struct<file:struct<path:string>, offset:bigint>``
+    (+ parsed json fields under ``json`` or at root per config).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if encoding and encoding.lower() not in ("utf-8", "utf8"):
+        # the text source is UTF-8; other charsets decode from binaryFile
+        # content via decode() — out of scope for the transcript pipeline
+        raise NotImplementedError(f"encoding {encoding!r}: only utf-8 here")
+    df = reader.text(paths)  # column: value
+
+    df = df.select(
+        F.col("value").alias("message"),
+        F.input_file_name().alias("__path"),
+    )
+    # stable per-file line ordinal ≡ harvester offset ordering. A window per
+    # file is acceptable: line order within one file is inherently serial
+    # state, exactly like the reference's single harvester goroutine per file.
+    w = Window.partitionBy("__path").orderBy(F.monotonically_increasing_id())
+    df = df.withColumn("__offset", F.row_number().over(w).cast("long") - 1)
+
+    if max_bytes:
+        df = df.withColumn("message", F.substring("message", 1, int(max_bytes)))
+
+    for pat in include_lines or []:
+        df = df.filter(F.col("message").rlike(pat))
+    for pat in exclude_lines or []:
+        df = df.filter(~F.col("message").rlike(pat))
+
+    if multiline:
+        from beats_spark.processors import build_stage
+
+        cfg = {"field": "message", "partition_by": ["__path"],
+               "order_by": ["__offset"], **multiline}
+        df = build_stage("multiline", cfg).apply(df)
+
+    if json is not None or json_schema is not None:
+        jcfg = json or {}
+        schema = json_schema
+        if schema is None:
+            raise ValueError("logfile: json parsing needs json_schema DDL")
+        # PERMISSIVE from_json yields a null-FIELD struct on bad input, not a
+        # null struct; a corrupt-record column makes failure observable
+        # (readjson's addError path, libbeat/reader/readjson/json.go:119)
+        full_schema = f"{schema}, __corrupt string"
+        parsed = F.from_json(
+            F.col("message"), full_schema,
+            {"columnNameOfCorruptRecord": "__corrupt"},
+        )
+        keys_under_root = jcfg.get("keys_under_root", False)
+        add_error_key = jcfg.get("add_error_key", False)
+        df = df.withColumn("__jfull", parsed)
+        bad = F.col("__jfull.__corrupt").isNotNull()
+        names = [c.strip().split(" ")[0].strip("`")
+                 for c in schema.split(",")]
+        clean = F.when(
+            ~bad,
+            F.struct(*[F.col(f"__jfull.{n}").alias(n) for n in names]),
+        )
+        df = df.withColumn("__json", clean)
+        if add_error_key:
+            df = df.withColumn(
+                "error",
+                F.when(bad & F.col("message").isNotNull(), F.struct(
+                    F.lit("Error decoding JSON document").alias("message")
+                )),
+            )
+        df = df.drop("__jfull")
+        if keys_under_root:
+            overwrite = jcfg.get("overwrite_keys", False)
+            names = spark.createDataFrame([], schema).columns if isinstance(schema, str) else []
+            for n in names:
+                if n in df.columns and not overwrite:
+                    continue
+                df = df.withColumn(n, F.col("__json").getField(n))
+            df = df.drop("__json")
+        else:
+            df = df.withColumnRenamed("__json", "json")
+
+    return df.select(
+        *[c for c in df.columns if c not in ("__path", "__offset")],
+        F.struct(
+            F.struct(F.col("__path").alias("path")).alias("file"),
+            F.col("__offset").alias("offset"),
+        ).alias("log"),
+    )

@@ -1,0 +1,89 @@
+"""CLI (package/ingest/run) + streaming runner tests."""
+
+import json
+import subprocess
+import sys
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.catalog import ParquetCatalog
+from beats_spark.pipeline import Pipeline, fixture_config
+from beats_spark.streaming.runner import dedup_stream, run_stream, windowed_counts
+from beats_spark.testdata import synthesize_transcripts
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """package → ingest → run → resume-noop, via the argparse entry (in
+    subprocess for package; in-process for spark commands to reuse the JVM)."""
+    from beats_spark import cli
+
+    out = subprocess.run(
+        [sys.executable, "-m", "beats_spark.cli", "package",
+         "--out", str(tmp_path / "bs.zip")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0 and out.stdout.strip().endswith("bs.zip")
+
+    src = tmp_path / "in"
+    synthesize_transcripts(spark, 2000, 50).write.parquet(str(src))
+    wh = str(tmp_path / "wh")
+    cfgp = tmp_path / "cfg.json"
+    from dataclasses import asdict
+    cfg = fixture_config()
+    cfgp.write_text(json.dumps({
+        "processors": cfg.processors, "output": {"routes": cfg.routes},
+    }))
+
+    import io
+    from contextlib import redirect_stdout
+
+    def run_cli(*argv):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            cli.main(list(argv))
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    r = run_cli("ingest", "--input", str(src), "--warehouse", wh)
+    assert r["rows"] == 2000
+    r = run_cli("run", "--config", str(cfgp), "--warehouse", wh,
+                "--run-id", "cli1")
+    assert r["events_in"] == 2000 and not r["skipped"]
+    assert sum(r["sinks"].values()) == 2000 - r["events_dropped"]
+    r2 = run_cli("run", "--config", str(cfgp), "--warehouse", wh)
+    assert r2["skipped"]
+
+
+def test_streaming_foreachbatch_fanout(spark, tmp_path):
+    """availableNow stream over parquet → identical fan-out as batch."""
+    src = tmp_path / "stream_in"
+    tdf = synthesize_transcripts(spark, 3000, 60)
+    tdf.write.parquet(str(src))
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    pipe = Pipeline(spark, fixture_config(), cat)
+
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    ).parquet(str(src))
+    q = run_stream(pipe, stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    want = pipe.transform(tdf).groupBy("_sink").count().collect()
+    for r in want:
+        assert cat.read(r["_sink"]).count() == r["count"]
+    # metrics landed with stream run ids
+    m = cat.read("pipeline_metrics").toPandas()
+    assert m["run_id"].str.startswith("stream-").all()
+
+
+def test_streaming_windowed_counts_and_dedup(spark, tmp_path):
+    tdf = synthesize_transcripts(spark, 1000, 20)
+    routed = Pipeline(spark, fixture_config()).transform(tdf)
+    # batch execution of the streaming aggregation plan (same expressions)
+    wc = windowed_counts(routed).toPandas()
+    assert (wc["events_routed"] > 0).all()
+    assert wc.groupby("_sink")["events_routed"].sum().sum() == routed.count()
+    dd = dedup_stream(routed.unionByName(routed))
+    assert dd.count() == routed.count()

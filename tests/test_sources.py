@@ -1,0 +1,145 @@
+"""Sources (log-file input, kafka wiring) + misc processors."""
+
+import gzip
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.processors import apply_chain, build_chain, build_stage
+from beats_spark.sources import kafka_reader_options, read_log_files
+from beats_spark.sources.kafka import kafka_writer_frame
+
+
+@pytest.fixture()
+def logdir(tmp_path):
+    a = tmp_path / "a.log"
+    a.write_text("line one\nline two\nDEBUG noise\nline three\n")
+    b = tmp_path / "b.log"
+    b.write_text("ERROR start\n  at frame 1\n  at frame 2\nline after\n")
+    (tmp_path / "c.txt").write_text("not a log\n")
+    return tmp_path
+
+
+def test_logfile_basic_envelope(spark, logdir):
+    df = read_log_files(spark, str(logdir), glob="*.log")
+    pdf = df.toPandas()
+    assert set(pdf.columns) == {"message", "log"}
+    assert len(pdf) == 8  # c.txt excluded by glob
+    # per-file offsets dense from 0, in file order
+    a = pdf[pdf["log"].map(lambda l: l["file"]["path"].endswith("a.log"))]
+    rows = sorted((l["offset"], m) for l, m in zip(a["log"], a["message"]))
+    assert [m for _, m in rows] == ["line one", "line two", "DEBUG noise", "line three"]
+
+
+def test_logfile_include_exclude(spark, logdir):
+    df = read_log_files(
+        spark, str(logdir), glob="a.log",
+        include_lines=["^line"], exclude_lines=["two"],
+    )
+    msgs = sorted(r["message"] for r in df.collect())
+    assert msgs == ["line one", "line three"]
+
+
+def test_logfile_multiline_stacktrace(spark, logdir):
+    df = read_log_files(
+        spark, str(logdir), glob="b.log",
+        multiline={"pattern": r"^\s", "negate": False, "match": "after"},
+    )
+    msgs = sorted(r["message"] for r in df.collect())
+    assert msgs == ["ERROR start\n  at frame 1\n  at frame 2", "line after"]
+
+
+def test_logfile_ndjson(spark, tmp_path):
+    p = tmp_path / "x.ndjson"
+    p.write_text("\n".join(json.dumps({"k": i, "s": f"v{i}"}) for i in range(3)) + "\nBROKEN{\n")
+    df = read_log_files(spark, str(p), json={"add_error_key": True},
+                        json_schema="k int, s string")
+    pdf = df.toPandas().sort_values("message").reset_index(drop=True)
+    ok = pdf[pdf["json"].notna()]
+    assert sorted(j["k"] for j in ok["json"]) == [0, 1, 2]
+    bad = pdf[pdf["json"].isna()]
+    assert len(bad) == 1
+    assert bad.iloc[0]["error"]["message"].startswith("Error decoding")
+
+
+def test_logfile_max_bytes(spark, tmp_path):
+    p = tmp_path / "x.log"
+    p.write_text("A" * 100 + "\nshort\n")
+    df = read_log_files(spark, str(p), max_bytes=10)
+    assert sorted(r["message"] for r in df.collect()) == ["A" * 10, "short"]
+
+
+def test_kafka_options_and_frame(spark):
+    opts = kafka_reader_options({
+        "hosts": ["k1:9092", "k2:9092"], "topics": ["t1", "t2"],
+        "initial_offset": "newest", "group_id": "g", "max_batch_size": 500,
+    })
+    assert opts == {
+        "kafka.bootstrap.servers": "k1:9092,k2:9092",
+        "subscribe": "t1,t2",
+        "startingOffsets": "latest",
+        "kafka.group.id": "g",
+        "maxOffsetsPerTrigger": "500",
+    }
+    df = spark.createDataFrame([("c1", 1, "hello", "sink_a")],
+                               "conv_id string, turn_idx int, text string, _sink string")
+    out = kafka_writer_frame(df, key_fmtstr="%{[conv_id]}").toPandas()
+    assert list(out.columns) == ["topic", "key", "value"]
+    assert out.iloc[0]["topic"] == "sink_a"
+    assert out.iloc[0]["key"] == "c1"
+    v = json.loads(out.iloc[0]["value"])
+    assert v == {"conv_id": "c1", "turn_idx": 1, "text": "hello"}
+
+
+def test_decompress_gzip_field(spark):
+    payload = gzip.compress(b"hello world")
+    df = spark.createDataFrame([(bytearray(payload),), (bytearray(b"junk"),)],
+                               "blob binary")
+    out = apply_chain(df, build_chain([
+        {"decompress_gzip_field": {"field": {"from": "blob", "to": "text"}}},
+    ])).toPandas()
+    vals = set(out["text"])
+    assert "hello world" in vals and None in vals
+
+
+def test_detect_mime_type(spark):
+    df = spark.createDataFrame(
+        [('{"a":1}',), ("<?xml version='1'?>",), ("plain",)], "message string"
+    )
+    out = apply_chain(df, build_chain([{"detect_mime_type": {"field": "message"}}])).toPandas()
+    got = dict(zip(out["message"], out["mime_type"]))
+    assert got['{"a":1}'] == "application/json"
+    assert got["<?xml version='1'?>"] == "text/xml"
+    assert got["plain"] is None
+
+
+def test_extract_array_and_data_stream(spark):
+    df = spark.createDataFrame([(["a", "b", "c"],)], "arr array<string>")
+    stages = build_chain([
+        {"extract_array": {"field": "arr", "mappings": {"first": 0, "last": 2}}},
+        {"add_data_stream": {"dataset": "transcripts", "namespace": "prod"}},
+    ])
+    out = apply_chain(df, stages).toPandas().iloc[0]
+    assert out["first"] == "a" and out["last"] == "c"
+    assert out["data_stream"]["dataset"] == "transcripts"
+    assert out["_meta_raw_index"] == "logs-transcripts-prod"
+
+
+def test_add_formatted_index(spark):
+    df = spark.createDataFrame([("c1", "2026-03-05 10:00:00")],
+                               "conv_id string, ts_s string").select(
+        "conv_id", F.to_timestamp("ts_s").alias("ts"))
+    st = build_stage("add_formatted_index",
+                     {"index": "tx-%{[conv_id]}-%{+yyyy.MM.dd}"})
+    out = st.apply(df).toPandas().iloc[0]
+    assert out["_meta_raw_index"] == "tx-c1-2026.03.05"
+
+
+def test_timeseries_instance_deterministic(spark):
+    df = spark.createDataFrame([("a", "x"), ("a", "x"), ("b", "x")],
+                               "h string, m string")
+    st = build_stage("timeseries_instance", {"fields": ["h", "m"]})
+    out = st.apply(df).toPandas()
+    inst = out["timeseries"].map(lambda s: s["instance"])
+    assert inst[0] == inst[1] and inst[0] != inst[2]

@@ -453,13 +453,16 @@ def build_jvm_columns(t: Tokenizer, col: Column):
 
     cast_map = {"integer": "int", "long": "bigint",
                 "float": "float", "double": "double"}
+    # fields are NOT individually guarded by `matched` — the caller wraps the
+    # whole struct in F.when(~failed, ...), so each row pays one rlike plus
+    # one regexp_extract per key instead of re-evaluating the guard per field
     cols = []
     for k in sorted((k for k in t.keys if k.kind == "normal"),
                     key=lambda k: k.id):
         v = F.regexp_extract(col, java_rx, gidx[f"g{k.id}"])
         if k.dtype:
             v = F.rtrim(v).try_cast(cast_map[k.dtype])  # Go rstrips first
-        cols.append(F.when(matched, v).alias(k.name))
+        cols.append(v.alias(k.name))
     del key_by_id
     return ~matched, F.struct(*cols)
 

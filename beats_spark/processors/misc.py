@@ -184,3 +184,97 @@ def timeseries_instance(cfg: dict[str, Any]) -> Stage:
             return {"timeseries.instance": F.xxhash64(*cols)}
 
     return TsInstance()
+
+
+@register("decode_xml")
+def decode_xml(cfg: dict[str, Any]) -> Stage:
+    """XML string → nested map (decode_xml/decode_xml.go:87). stdlib
+    ElementTree in an Arrow-batched pandas UDF; attributes keyed as-is,
+    repeated children collapse to their last value (flat map — nested
+    structure round-trips through the dotted-key convention)."""
+    src = cfg.get("field", "message")
+    target = cfg.get("target_field", "xml")
+    ignore_failure = cfg.get("ignore_failure", True)
+
+    def parse_batch(s: pd.Series) -> pd.Series:
+        import xml.etree.ElementTree as ET
+
+        def flatten(el, prefix=""):
+            out = {}
+            for k, v in el.attrib.items():
+                out[f"{prefix}{k}"] = v
+            kids = list(el)
+            if not kids:
+                if el.text and el.text.strip():
+                    out[prefix.rstrip(".") or el.tag] = el.text.strip()
+                return out
+            for kid in kids:
+                out.update(flatten(kid, f"{prefix}{kid.tag}."))
+            return out
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return flatten(ET.fromstring(v))
+            except ET.ParseError:
+                return None
+        return s.map(one)
+
+    udf = F.pandas_udf(parse_batch, returnType="map<string,string>")
+
+    class DecodeXml(Stage):
+        def updates(self, df: DataFrame) -> dict[str, Column]:
+            if not has_path(df.schema, src):
+                if ignore_failure:
+                    return {}
+                raise ValueError(f"decode_xml: missing {src!r}")
+            return {target: udf(get_path(df, src).cast("string"))}
+
+    return DecodeXml()
+
+
+def _const_struct_stage(target: str, fields: dict[str, Any]) -> Stage:
+    class ConstStruct(Stage):
+        def updates(self, df: DataFrame) -> dict[str, Column]:
+            return {f"{target}.{k}": F.lit(v) for k, v in fields.items()}
+
+    return ConstStruct()
+
+
+@register("add_host_metadata")
+def add_host_metadata(cfg: dict[str, Any]) -> Stage:
+    """Static host facts (add_host_metadata.go:83) — driver-side constants
+    resolved once at plan time, broadcast implicitly as literals."""
+    import platform
+    import socket
+
+    target = cfg.get("target", "host")
+    facts = {
+        "name": cfg.get("name", socket.gethostname()),
+        "os_family": platform.system().lower(),
+        "architecture": platform.machine(),
+    }
+    facts.update(cfg.get("fields", {}))
+    return _const_struct_stage(target, facts)
+
+
+@register("add_observer_metadata")
+def add_observer_metadata(cfg: dict[str, Any]) -> Stage:
+    """observer.* facts (add_observer_metadata) — same constant-struct shape."""
+    import socket
+
+    facts = {"hostname": cfg.get("hostname", socket.gethostname()),
+             "type": cfg.get("type", "pipeline")}
+    facts.update(cfg.get("fields", {}))
+    return _const_struct_stage(cfg.get("target", "observer"), facts)
+
+
+@register("add_cloud_metadata")
+def add_cloud_metadata(cfg: dict[str, Any]) -> Stage:
+    """Cloud provider facts (add_cloud_metadata.go:115). The reference
+    probes metadata endpoints once at startup; here the probe result is
+    passed in config (``facts``) — per-row behavior identical (constants);
+    probing HTTP endpoints from executors would be wrong at any scale."""
+    facts = cfg.get("facts") or {"provider": cfg.get("provider", "unknown")}
+    return _const_struct_stage(cfg.get("target", "cloud"), facts)

@@ -68,15 +68,25 @@ def exact_dedup(df: DataFrame, content_col: str = "text",
 def minhash_signature(col: Column, num_hashes: int = 64) -> Column:
     """array<bigint> of per-seed min-hashes over the shingle set.
 
-    Each of the ``num_hashes`` permutations is xxhash64(shingle, seed=i) —
-    computed with two nested higher-order functions, fully JVM-side.
+    Each variable-length string shingle is hashed to 64 bits ONCE; the
+    ``num_hashes`` permutations then re-hash the fixed 8-byte value with the
+    seed (xxhash64(h, seed)) — 64× less string hashing than hashing the
+    shingle text per seed, same minwise-independence properties. Fully
+    JVM-side higher-order functions, no UDF.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda seed: F.array_min(
-            F.transform(col, lambda s: F.xxhash64(s, seed))
+            F.transform(col, lambda h: F.xxhash64(h, seed))
         ),
     )
+
+
+def hash_shingles(col: Column) -> Column:
+    """string shingles → int64 hashes; materialize this as its OWN projected
+    column before minhash_signature so the string hashing runs once per row
+    (CollapseProject keeps non-cheap expressions from being inlined 64×)."""
+    return F.transform(col, lambda s: F.xxhash64(s))
 
 
 def minhash_lsh_pairs(
@@ -100,7 +110,8 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id"),
         word_shingles(F.col(content_col), shingle_n).alias("__sh"),
     ).filter(F.size("__sh") > 0)
-    sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    hashed = base.select("__id", "__sh", hash_shingles(F.col("__sh")).alias("__hs"))
+    sig = hashed.withColumn("__sig", minhash_signature(F.col("__hs"), num_hashes)).drop("__hs")
 
     banded = sig.select(
         "__id", "__sh",

@@ -103,7 +103,7 @@ def _worker(cores: int) -> None:
         },
     )
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    reps = int(os.environ.get("BENCH_REPS", "6"))
+    reps = int(os.environ.get("BENCH_REPS", str(max(6, cores // 4))))
     from beats_spark.testdata import synthesize_transcripts
 
     src = tempfile.mkdtemp(prefix=f"bench_src_{cores}_", dir=shm)

@@ -101,3 +101,31 @@ def test_dead_letter_routing(spark, tmp_path):
     assert res.sinks == {"s_search": 1, "dead_letter": 1}
     dead = cat.read("dead_letter").toPandas()
     assert list(dead["conv_id"]) == ["c2"]
+
+
+def test_urldecode(spark):
+    df = spark.createDataFrame([("a%20b%2Fc",), ("plain",)], "u string")
+    out = apply_chain(df, build_chain([
+        {"urldecode": {"fields": [{"from": "u", "to": "d"}]}},
+    ])).toPandas()
+    got = dict(zip(out["u"], out["d"]))
+    assert got["a%20b%2Fc"] == "a b/c"
+    assert got["plain"] == "plain"
+
+
+def test_add_network_direction(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.5", "8.8.8.8"), ("8.8.8.8", "10.0.0.5"),
+         ("10.0.0.1", "192.168.1.9"), ("1.1.1.1", "8.8.4.4")],
+        "src string, dst string",
+    )
+    st = build_stage("add_network_direction",
+                     {"source": "src", "destination": "dst",
+                      "internal_networks": ["private"]})
+    out = st.apply(df).toPandas()
+    got = {(r["src"], r["dst"]): r["network"]["direction"]
+           for _, r in out.iterrows()}
+    assert got[("10.0.0.5", "8.8.8.8")] == "outbound"
+    assert got[("8.8.8.8", "10.0.0.5")] == "inbound"
+    assert got[("10.0.0.1", "192.168.1.9")] == "internal"
+    assert got[("1.1.1.1", "8.8.4.4")] == "external"

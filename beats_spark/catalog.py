@@ -140,3 +140,53 @@ class ParquetCatalog:
             return None, []
         df = self.spark.read.parquet(*[s.path for s in snaps])
         return df, [s.snapshot_id for s in snaps]
+
+    # -- recovery -------------------------------------------------------------
+
+    def tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.exists(self._log_path(d))
+        )
+
+    def rollback_run(self, run_id: str) -> dict[str, int]:
+        """Remove every snapshot a (crashed) run committed, across all
+        tables — the recovery half of exactly-once when a run died between
+        its sink commits and its lineage commit (real Iceberg would wrap the
+        whole run in one WAP/branch transaction; here the snapshot logs are
+        rewritten without the run's entries and its data dirs dropped).
+
+        Returns {table: snapshots_removed}. Safe to call for an unknown
+        run_id (no-op)."""
+        removed: dict[str, int] = {}
+        for table in self.tables():
+            snaps = self.snapshots(table)
+            keep = [s for s in snaps if s.run_id != run_id]
+            if len(keep) == len(snaps):
+                continue
+            removed[table] = len(snaps) - len(keep)
+            tmp = self._log_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                for s in keep:
+                    f.write(json.dumps(s.__dict__) + "\n")
+            os.replace(tmp, self._log_path(table))  # atomic swap
+            for s in snaps:
+                if s.run_id == run_id:
+                    shutil.rmtree(s.path, ignore_errors=True)
+        return removed
+
+    def incomplete_runs(self, lineage_table: str = "lineage") -> set[str]:
+        """Run ids that committed data/metrics snapshots but never reached
+        the lineage commit (the last step of Pipeline.run) — candidates for
+        rollback_run before resuming."""
+        lineage_runs: set[str] = set()
+        if self.exists(lineage_table):
+            lineage_runs = {
+                s.run_id for s in self.snapshots(lineage_table) if s.run_id
+            }
+        all_runs: set[str] = set()
+        for t in self.tables():
+            if t == lineage_table:
+                continue
+            all_runs |= {s.run_id for s in self.snapshots(t) if s.run_id}
+        return all_runs - lineage_runs

@@ -173,3 +173,41 @@ def test_dissect_jvm_pandas_engines_agree(spark, transcripts):
             .orderBy("conv_id", "turn_idx").toPandas()
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_crash_recovery_rollback(spark, transcripts, tmp_path):
+    """A run that died between sink commits and its lineage commit must be
+    detectable and removable, after which resume reprocesses cleanly with
+    no double-append (the WAP/branch transaction analogue)."""
+    from beats_spark.catalog import ParquetCatalog as PC
+
+    cat = PC(spark, str(tmp_path / "wh"))
+    cat.append(transcripts, "transcripts")
+    pipe = Pipeline(spark, fixture_config(), cat)
+
+    # simulate the crash: run the fan-out but strip the lineage commit
+    real_append = cat.append
+
+    def dying_append(df, table, run_id=None):
+        if table == LINEAGE_TABLE:
+            raise RuntimeError("crash before lineage commit")
+        return real_append(df, table, run_id=run_id)
+
+    cat.append = dying_append
+    src_snap = cat.snapshots("transcripts")[0].snapshot_id
+    with pytest.raises(RuntimeError):
+        pipe.run(cat.read("transcripts"), run_id="crashed",
+                 source_snapshots=[src_snap])
+    cat.append = real_append
+
+    # sinks hold the orphan data; lineage does not know the run
+    assert "crashed" in cat.incomplete_runs()
+    removed = cat.rollback_run("crashed")
+    assert sum(removed.values()) > 0
+    assert cat.incomplete_runs() == set()
+
+    # clean resume: counts equal the single-shot oracle, nothing doubled
+    r = pipe.run_incremental("transcripts", run_id="retry")
+    want = oracle_routes(transcripts.toPandas()).value_counts().to_dict()
+    assert r.sinks == want
+    assert {s: cat.read(s).count() for s in want} == want

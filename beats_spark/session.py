@@ -23,6 +23,10 @@ def ship_package(spark: SparkSession) -> None:
     ``spark-submit --py-files beats_spark.zip``; here we zip the package and
     addPyFile, which is the same mechanism."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # already imported from a --py-files zip: spark-submit distributed
+        # it to every executor, nothing to ship
+        return
     base = os.path.join(tempfile.gettempdir(), f"beats_spark_pyfiles_{os.getpid()}")
     zip_path = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir), "beats_spark")
     spark.sparkContext.addPyFile(zip_path)

@@ -422,14 +422,14 @@ def _build_exact_udf(t: Tokenizer, trim_mode: str, trim_chars: str):
 
 def jvm_eligible(t: Tokenizer, trim_mode: str) -> bool:
     """True when the tokenizer needs none of the Python-side machinery:
-    static (no indirect/pointer), no append joins, no trim, and only types
-    whose Go parse semantics a plain Spark cast reproduces (the pandas path
-    also accepts 0x-hex ints and Go bool spellings — regex-rare cases)."""
+    static (no indirect/pointer), no trim, and only types whose Go parse
+    semantics a plain Spark cast reproduces (the pandas path also accepts
+    0x-hex ints and Go bool spellings — regex-rare cases). ``append`` keys
+    ARE eligible: each capture is a regexp_extract and the joins become one
+    concat in ordinal order."""
     if t.dynamic or trim_mode != "none":
         return False
     for k in t.keys:
-        if k.kind == "append":
-            return False
         if k.dtype not in ("", "integer", "long", "float", "double"):
             return False
     return True
@@ -448,22 +448,34 @@ def build_jvm_columns(t: Tokenizer, col: Column):
     # Python named groups → plain groups for Java (names match (?P<gN>...))
     java_rx = "(?s)" + re.sub(r"\(\?P<g\d+>", "(", pattern.pattern)
     gidx = {name: i + 1 for i, name in enumerate(group_names)}
-    key_by_id = {k.id: k for k in t.keys}
     matched = col.isNotNull() & (col != "") & col.rlike(java_rx)
 
     cast_map = {"integer": "int", "long": "bigint",
                 "float": "float", "double": "double"}
+    # append joins in (ordinal, id) order with the delimiter before the
+    # appended capture (field.go append semantics) — same combine loop as the
+    # pandas path, expressed as concat
+    keys_sorted = sorted((k for k in t.keys if k.kind in ("normal", "append")),
+                         key=lambda k: (k.ordinal, k.id))
+    joins = {k.id: (t.delims[k.id] or " ") for k in t.keys if k.kind == "append"}
+    key_dtype = {k.name: k.dtype for k in t.keys
+                 if k.kind == "normal" and k.dtype}
+    out: dict[str, Column] = {}
+    for k in keys_sorted:
+        v = F.regexp_extract(col, java_rx, gidx[f"g{k.id}"])
+        if k.name in out and k.kind == "append":
+            out[k.name] = F.concat(out[k.name], F.lit(joins[k.id]), v)
+        else:
+            out[k.name] = v
     # fields are NOT individually guarded by `matched` — the caller wraps the
     # whole struct in F.when(~failed, ...), so each row pays one rlike plus
-    # one regexp_extract per key instead of re-evaluating the guard per field
+    # one regexp_extract per capture instead of re-evaluating the guard
     cols = []
-    for k in sorted((k for k in t.keys if k.kind == "normal"),
-                    key=lambda k: k.id):
-        v = F.regexp_extract(col, java_rx, gidx[f"g{k.id}"])
-        if k.dtype:
-            v = F.rtrim(v).try_cast(cast_map[k.dtype])  # Go rstrips first
-        cols.append(v.alias(k.name))
-    del key_by_id
+    for name in t.out_keys():
+        v = out[name]
+        if name in key_dtype:
+            v = F.rtrim(v).try_cast(cast_map[key_dtype[name]])  # Go rstrips
+        cols.append(v.alias(name))
     return ~matched, F.struct(*cols)
 
 
@@ -509,7 +521,7 @@ def dissect(cfg: dict[str, Any]) -> Stage:
             tmp = None
             if use_jvm:
                 failed, payload = build_jvm_columns(t, src_col)
-                out_names = [k.name for k in t.keys if k.kind == "normal"]
+                out_names = t.out_keys()
             else:
                 tmp = "__dissect_raw"
                 df = df.withColumn(tmp, udf(src_col))

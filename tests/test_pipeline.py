@@ -211,3 +211,47 @@ def test_crash_recovery_rollback(spark, transcripts, tmp_path):
     want = oracle_routes(transcripts.toPandas()).value_counts().to_dict()
     assert r.sinks == want
     assert {s: cat.read(s).count() for s in want} == want
+
+
+def test_dissect_jvm_append_parity(spark):
+    """JVM fast path now covers append (+key / +key/N ordinal) — must equal
+    the pandas path on append, greedy padding, and fixed-length."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    rows = [
+        ("john smith BOB 12 X",),
+        ("a b C 7 Y",),
+        ("nomatch",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    tok = "%{+name} %{+name} %{flag} %{n|integer} %{tail}"
+    outs = []
+    for engine in ("jvm", "pandas"):
+        stages = build_chain([
+            {"dissect": {"tokenizer": tok, "field": "text",
+                         "target_prefix": "p", "ignore_failure": True,
+                         "engine": engine}},
+        ])
+        out = apply_chain(df, stages)
+        outs.append(out.select("text", "p.*").orderBy("text").toPandas())
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0].set_index("text")
+    assert got.loc["john smith BOB 12 X", "name"] == "john smith"
+    assert got.loc["john smith BOB 12 X", "n"] == 12
+
+
+def test_dissect_jvm_append_ordinal_parity(spark):
+    from beats_spark.processors import apply_chain, build_chain
+
+    df = spark.createDataFrame([("b a",)], "text string")
+    tok = "%{+name/2} %{+name/1}"
+    outs = []
+    for engine in ("jvm", "pandas"):
+        stages = build_chain([
+            {"dissect": {"tokenizer": tok, "field": "text",
+                         "target_prefix": "p", "ignore_failure": True,
+                         "engine": engine}},
+        ])
+        outs.append(apply_chain(df, stages).select("p.name").toPandas())
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert outs[0]["name"][0] == "a b"  # ordinal reorders the appends

@@ -100,6 +100,10 @@ def _worker(cores: int) -> None:
             # v2 committer: per-task file moves instead of a serial driver-side
             # commit loop — shrinks the Amdahl serial fraction of the fan-out
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+            # Tungsten off-heap: row buffers out of the (shared) G1 heap —
+            # less GC coupling between 32 concurrent writer tasks
+            "spark.memory.offHeap.enabled": "true",
+            "spark.memory.offHeap.size": "8g",
         },
     )
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None

@@ -56,6 +56,11 @@ class PipelineConfig:
     salt_column: str | None = None        # e.g. "conv_id"
     salt_buckets: int = 0                 # 0 = off
     repartition: int | None = None
+    # write clustering: sortWithinPartitions before the fan-out write so
+    # per-sink files are ordered by the stable key (parquet row-group
+    # min/max stats then prune (conv_id, turn_idx) range scans — the
+    # reference's per-file offset ordering, §2.7)
+    cluster_by: list[str] = field(default_factory=list)
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "PipelineConfig":
@@ -129,6 +134,11 @@ class Pipeline:
         routed = self.transform(df)
         payload_cols = [c for c in routed.columns if not c.startswith(META_PREFIX)]
         routed = routed.select(*payload_cols)
+        if self.config.cluster_by:
+            # lead with the partition column: FileFormatWriter requires rows
+            # grouped by partition value and would otherwise inject its own
+            # (non-stable) sort on _sink, scrambling the clustering
+            routed = routed.sortWithinPartitions(SINK_COL, *self.config.cluster_by)
 
         # single-pass fan-out: one partitioned write, then per-sink adoption
         staging = os.path.join(cat.warehouse, f"_staging_{run_id}")

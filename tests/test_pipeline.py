@@ -255,3 +255,19 @@ def test_dissect_jvm_append_ordinal_parity(spark):
         outs.append(apply_chain(df, stages).select("p.name").toPandas())
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert outs[0]["name"][0] == "a b"  # ordinal reorders the appends
+
+
+def test_cluster_by_orders_files(spark, transcripts, tmp_path):
+    """cluster_by sorts rows within each written file so parquet row-group
+    stats prune (conv_id, turn_idx) range reads."""
+    cfg = fixture_config()
+    cfg.cluster_by = ["conv_id", "turn_idx"]
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    Pipeline(spark, cfg, cat).run(transcripts.repartition(2), run_id="c")
+    import glob as g
+    files = g.glob(str(tmp_path / "wh" / "sink_search" / "data" / "*" / "*.parquet"))
+    assert files
+    import pandas as pd_
+    for f in files:
+        pdf = pd_.read_parquet(f)[["conv_id", "turn_idx"]]
+        assert pdf.equals(pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))

@@ -95,9 +95,32 @@ def timestamp(cfg: dict[str, Any]) -> Stage:
     target = cfg.get("target_field", "ts")
     ignore_missing = cfg.get("ignore_missing", False)
     ignore_failure = cfg.get("ignore_failure", False)
+    test_samples = list(cfg.get("test", []))
+    validated = []
 
     class Timestamp(Stage):
+        def _validate(self, spark) -> None:
+            """``test`` samples must parse under some layout at plan time
+            (timestamp/config.go:23-30 Validate) — one tiny driver-side
+            action, never per-row."""
+            if validated or not test_samples:
+                return
+            probe = spark.range(1)
+            for sample in test_samples:
+                attempts = [
+                    F.try_to_timestamp(F.lit(sample), F.lit(lay))
+                    for lay in layouts if lay not in ("UNIX", "UNIX_MS")
+                ] or [F.try_to_timestamp(F.lit(sample))]
+                row = probe.select(F.coalesce(*attempts).alias("t")).first()
+                if row["t"] is None:
+                    raise ValueError(
+                        f"timestamp: test sample {sample!r} does not parse "
+                        f"with layouts {layouts!r}"
+                    )
+            validated.append(True)
+
         def updates(self, df: DataFrame) -> dict[str, Column]:
+            self._validate(df.sparkSession)
             if not has_path(df.schema, fld):
                 if ignore_missing:
                     return {}
@@ -178,9 +201,19 @@ def decode_json_fields(cfg: dict[str, Any]) -> Stage:
 
 @register("decode_csv_fields")
 def decode_csv_fields(cfg: dict[str, Any]) -> Stage:
-    """CSV string → array<string> (decode_csv_fields.go:42-130)."""
+    """CSV string → array<string> (decode_csv_fields.go:42-130).
+
+    Quote-aware: the separator regex splits only OUTSIDE double quotes
+    (lookahead for an even number of quotes ahead), then quotes are
+    stripped and doubled quotes unescaped — encoding/csv semantics for flat
+    rows, all JVM-side (no UDF)."""
     pairs = cfg.get("fields", {})
     sep = cfg.get("separator", ",")
+    trim_leading = cfg.get("trim_leading_space", False)
+
+    import re as _re
+
+    split_rx = _re.escape(sep) + r'(?=(?:[^"]*"[^"]*")*[^"]*$)'
 
     class DecodeCsv(Stage):
         def updates(self, df: DataFrame) -> dict[str, Column]:
@@ -188,9 +221,16 @@ def decode_csv_fields(cfg: dict[str, Any]) -> Stage:
             for src, dst in pairs.items():
                 if not has_path(df.schema, src):
                     continue
-                # from_csv needs a schema; a splitter with quote support is
-                # enough for the reference's semantics on flat rows
-                out[dst] = F.split(get_path(df, src).cast("string"), sep)
+                arr = F.split(get_path(df, src).cast("string"), split_rx)
+                if trim_leading:
+                    arr = F.transform(arr, lambda v: F.regexp_replace(v, r"^ +", ""))
+                arr = F.transform(
+                    arr,
+                    lambda v: F.regexp_replace(
+                        F.regexp_replace(v, r'^"(.*)"$', "$1"), '""', '"'
+                    ),
+                )
+                out[dst] = arr
             return out
 
     return DecodeCsv()

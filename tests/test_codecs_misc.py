@@ -129,3 +129,29 @@ def test_add_network_direction(spark):
     assert got[("8.8.8.8", "10.0.0.5")] == "inbound"
     assert got[("10.0.0.1", "192.168.1.9")] == "internal"
     assert got[("1.1.1.1", "8.8.4.4")] == "external"
+
+
+def test_decode_csv_quote_aware(spark):
+    df = spark.createDataFrame(
+        [('a,"b,c",d',), ('x,"he said ""hi""",z',), ("p,q,r",)], "line string"
+    )
+    out = apply_chain(df, build_chain([
+        {"decode_csv_fields": {"fields": {"line": "cells"}}},
+    ])).toPandas()
+    got = {r["line"]: list(r["cells"]) for _, r in out.iterrows()}
+    assert got['a,"b,c",d'] == ["a", "b,c", "d"]
+    assert got['x,"he said ""hi""",z'] == ["x", 'he said "hi"', "z"]
+    assert got["p,q,r"] == ["p", "q", "r"]
+
+
+def test_timestamp_test_samples_validate(spark):
+    df = spark.createDataFrame([("2026-01-02 03:04:05",)], "t string")
+    ok = build_chain([{"timestamp": {"field": "t", "target_field": "p",
+                                     "layouts": ["2006-01-02 15:04:05"],
+                                     "test": ["2025-12-31 23:59:59"]}}])
+    assert apply_chain(df, ok).select("p").first()["p"] is not None
+    bad = build_chain([{"timestamp": {"field": "t", "target_field": "p",
+                                      "layouts": ["2006-01-02 15:04:05"],
+                                      "test": ["31/12/2025"]}}])
+    with pytest.raises(ValueError, match="test sample"):
+        apply_chain(df, bad).collect()

@@ -103,10 +103,14 @@ class Pipeline:
         cfg = self.config
         if cfg.salt_buckets and cfg.salt_column:
             n = cfg.repartition or self.spark.sparkContext.defaultParallelism * 2
+            # salt from row CONTENT (turn_idx when present, else all columns)
+            # so placement is deterministic under task retries — a
+            # monotonically_increasing_id salt would reshuffle on recompute
+            salt_src = (F.col("turn_idx") if "turn_idx" in df.columns
+                        else F.struct(*[F.col(c) for c in df.columns]))
             df = df.repartition(
                 n, F.col(cfg.salt_column),
-                F.pmod(F.xxhash64(F.monotonically_increasing_id()),
-                       F.lit(cfg.salt_buckets)),
+                F.pmod(F.xxhash64(salt_src), F.lit(cfg.salt_buckets)),
             )
         elif cfg.repartition:
             df = df.repartition(cfg.repartition)

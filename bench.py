@@ -17,7 +17,8 @@ Two parts:
    efficiency = (thr_4N / thr_N) / 4.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_TURNS (default 1_000_000), BENCH_SKIP_SCALING=1 to skip part 2.
+BENCH_TURNS (default 16_000_000), BENCH_REPS (default max(6, cores/4)),
+BENCH_LEVELS (default "8,32"), BENCH_SKIP_SCALING=1 to skip part 2.
 """
 
 from __future__ import annotations

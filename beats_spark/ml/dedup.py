@@ -118,14 +118,10 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
+                # xxhash64 hashes the sliced array<long> directly — no
+                # per-band string materialization
                 lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
+                    F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
                 ),
             )
         ).alias("__band", "__bh"),

@@ -43,6 +43,18 @@ DEAD_LETTER = "dead_letter"
 METRICS_TABLE = "pipeline_metrics"
 LINEAGE_TABLE = "lineage"
 
+# characters Spark escapes in partition directory names
+# (ExternalCatalogUtils.charToEscape) — adoption must look up the ESCAPED dir
+_ESCAPED_CHARS = (
+    {chr(i) for i in range(0x20)} | {chr(0x7F)} | set('"#%\'*/:=?\\{[]^')
+)
+
+
+def escape_path_name(value: str) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPED_CHARS else c for c in value
+    )
+
 
 @dataclass
 class PipelineConfig:
@@ -73,6 +85,7 @@ class PipelineConfig:
             salt_column=d.get("salt_column"),
             salt_buckets=int(d.get("salt_buckets", 0)),
             repartition=d.get("repartition"),
+            cluster_by=list(d.get("cluster_by", [])),
         )
 
 
@@ -169,7 +182,8 @@ class Pipeline:
 
         for sink in sorted(sink_counts):
             cat.adopt_directory(
-                os.path.join(staging, f"{SINK_COL}={sink}"), sink, run_id=run_id
+                os.path.join(staging, f"{SINK_COL}={escape_path_name(sink)}"),
+                sink, run_id=run_id,
             )
         # leftover staging dir (only _SUCCESS marker remains) is removed
         import shutil

@@ -155,3 +155,19 @@ def test_timestamp_test_samples_validate(spark):
                                       "test": ["31/12/2025"]}}])
     with pytest.raises(ValueError, match="test sample"):
         apply_chain(df, bad).collect()
+
+
+def test_fanout_sink_names_with_special_chars(spark, tmp_path):
+    """Sink names with characters Spark escapes in partition dirs (: space
+    #) must still adopt correctly into catalog tables."""
+    df = spark.createDataFrame(
+        [("c1", 0, "a", "evt:login"), ("c2", 1, "b", "evt 2"),
+         ("c3", 2, "c", "evt#x")],
+        "conv_id string, turn_idx int, text string, tool string",
+    )
+    cfg = PipelineConfig(processors=[], routes=[{"sink": "idx-%{[tool]}"}])
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    res = Pipeline(spark, cfg, cat).run(df, run_id="esc")
+    assert res.sinks == {"idx-evt:login": 1, "idx-evt 2": 1, "idx-evt#x": 1}
+    for s in res.sinks:
+        assert cat.read(s).count() == 1

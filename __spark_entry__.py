@@ -636,7 +636,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conditions_filter": _with_t(
             f""", p AS (SELECT *, {_parsed_sql_cols()} FROM transcripts)
-            SELECT tool, count(*) AS n, sum(latency) AS sum_latency FROM p
+            SELECT tool, count(*) AS n,
+                   CAST(sum(latency) AS BIGINT) AS sum_latency FROM p
             WHERE role IN ('user', 'assistant')
               AND latency >= 1000 AND latency < 40000
               AND msg LIKE '%tool call%'

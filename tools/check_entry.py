@@ -19,8 +19,9 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
-    if isinstance(v, float):
-        return f"{v:.9g}"
+    # Plain str(), matching the driver's stringification: a float64 7558210.0
+    # vs int64 7558210 MUST mismatch here (a %.9g normalization masked
+    # exactly that DuckDB HUGEINT->float64 artifact in round 1).
     if v is None or v != v:
         return "<null>"
     return str(v)

@@ -173,6 +173,13 @@ class ParquetCatalog:
             for s in snaps:
                 if s.run_id == run_id:
                     shutil.rmtree(s.path, ignore_errors=True)
+        # a crashed run may also have left its fan-out staging dir behind
+        # (written but never adopted) — clear it so recovery needs no manual
+        # deletion and a retried run with the same run_id starts clean
+        shutil.rmtree(
+            os.path.join(self.warehouse, f"_staging_{run_id}"),
+            ignore_errors=True,
+        )
         return removed
 
     def incomplete_runs(self, lineage_table: str = "lineage") -> set[str]:

@@ -27,6 +27,7 @@ re-expressed as table state.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -157,11 +158,19 @@ class Pipeline:
             # (non-stable) sort on _sink, scrambling the clustering
             routed = routed.sortWithinPartitions(SINK_COL, *self.config.cluster_by)
 
-        # single-pass fan-out: one partitioned write, then per-sink adoption
+        # single-pass fan-out: one partitioned write, then per-sink adoption.
+        # The staging path is run_id-scoped, so a leftover dir can only be
+        # debris from a crashed/retried attempt of THIS run (e.g. a streaming
+        # replay of the same checkpointed batch) — clear it instead of failing
+        # the retry forever with path-exists.
         staging = os.path.join(cat.warehouse, f"_staging_{run_id}")
+        shutil.rmtree(staging, ignore_errors=True)
         routed.write.partitionBy(SINK_COL).mode("errorifexists").parquet(staging)
 
-        written = self.spark.read.parquet(staging)
+        # explicit schema: an all-rows-dropped run leaves only _SUCCESS in
+        # staging and schema inference would throw; with the known schema the
+        # read is simply empty and the run still commits metrics + lineage
+        written = self.spark.read.schema(routed.schema).parquet(staging)
         out_rows = (
             written.groupBy(SINK_COL, PID_COL)
             .agg(F.count("*").alias("cnt"))
@@ -186,7 +195,6 @@ class Pipeline:
                 sink, run_id=run_id,
             )
         # leftover staging dir (only _SUCCESS marker remains) is removed
-        import shutil
         shutil.rmtree(staging, ignore_errors=True)
 
         metrics_df = self.spark.createDataFrame(
@@ -196,14 +204,18 @@ class Pipeline:
         )
         cat.append(metrics_df, METRICS_TABLE, run_id=run_id)
 
+        # lineage is committed for EVERY run (a direct run(df) gets one row
+        # with a NULL snapshot_id): the lineage commit is the run's "completed"
+        # marker, so incomplete_runs()/rollback would otherwise misclassify
+        # every direct run as crashed and delete validly committed sink data
         snaps = source_snapshots or []
-        if snaps:
-            lineage_df = self.spark.createDataFrame(
-                [(run_id, source_table, s, float(time.time())) for s in snaps],
-                "run_id string, source_table string, snapshot_id string, "
-                "committed_at double",
-            )
-            cat.append(lineage_df, LINEAGE_TABLE, run_id=run_id)
+        lineage_df = self.spark.createDataFrame(
+            [(run_id, source_table, s, float(time.time())) for s in snaps]
+            or [(run_id, source_table, None, float(time.time()))],
+            "run_id string, source_table string, snapshot_id string, "
+            "committed_at double",
+        )
+        cat.append(lineage_df, LINEAGE_TABLE, run_id=run_id)
 
         events_in = sum(in_counts.values())
         events_routed = sum(sink_counts.values())

@@ -13,6 +13,7 @@ from beats_spark.pipeline import (
     LINEAGE_TABLE,
     METRICS_TABLE,
     Pipeline,
+    PipelineConfig,
     fixture_config,
 )
 from beats_spark.testdata import synthesize_transcripts, transcripts_from_events
@@ -271,3 +272,66 @@ def test_cluster_by_orders_files(spark, transcripts, tmp_path):
     for f in files:
         pdf = pd_.read_parquet(f)[["conv_id", "turn_idx"]]
         assert pdf.equals(pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+
+def test_direct_run_commits_lineage(spark, transcripts, tmp_path):
+    """Every run commits a lineage row (NULL snapshot_id for direct runs) so
+    incomplete_runs() never misclassifies a committed direct run as crashed —
+    a rollback after such a misclassification would delete valid sink data."""
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    pipe = Pipeline(spark, fixture_config(), cat)
+    pipe.run(transcripts, run_id="direct1")
+    assert cat.incomplete_runs() == set()
+    row = (cat.read(LINEAGE_TABLE)
+           .filter(F.col("run_id") == "direct1").collect())
+    assert len(row) == 1 and row[0]["snapshot_id"] is None
+    # and rollback_run on a completed run id is therefore never triggered by
+    # the incomplete_runs() recovery loop; the sink data stays
+    assert cat.read("sink_search").count() > 0
+
+
+def test_staging_leftover_is_cleared_on_retry(spark, transcripts, tmp_path):
+    """A crash between the staging write and adoption leaves _staging_<run>;
+    a retried run with the same run_id (e.g. a replayed streaming batch) must
+    clear it and succeed instead of failing forever with path-exists."""
+    import os
+    wh = str(tmp_path / "wh")
+    cat = ParquetCatalog(spark, wh)
+    staging = os.path.join(wh, "_staging_replay7")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "_SUCCESS"), "w"):
+        pass
+    pipe = Pipeline(spark, fixture_config(), cat)
+    r = pipe.run(transcripts, run_id="replay7")
+    assert sum(r.sinks.values()) > 0
+    assert not os.path.exists(staging)
+
+
+def test_rollback_removes_staging_dir(spark, tmp_path):
+    import os
+    wh = str(tmp_path / "wh")
+    cat = ParquetCatalog(spark, wh)
+    staging = os.path.join(wh, "_staging_dead")
+    os.makedirs(staging)
+    cat.rollback_run("dead")
+    assert not os.path.exists(staging)
+
+
+def test_all_rows_dropped_run_commits_empty(spark, transcripts, tmp_path):
+    """drop_event removing every row must still commit metrics + lineage
+    (events_dropped == events_in), not crash on schema inference of an
+    empty staging dir."""
+    cfg = PipelineConfig(
+        processors=[{"drop_event": {"when": {"has_fields": ["conv_id"]}}}],
+        routes=[{"sink": "s_%{[role]}"}],
+    )
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    r = Pipeline(spark, cfg, cat).run(transcripts, run_id="all-dropped")
+    assert r.sinks == {}
+    assert r.events_in == transcripts.count()
+    assert r.events_dropped == r.events_in
+    m = cat.read(METRICS_TABLE).filter(F.col("run_id") == "all-dropped")
+    agg = m.agg(F.sum("events_in").alias("i"),
+                F.sum("events_dropped").alias("d")).collect()[0]
+    assert agg["i"] == r.events_in and agg["d"] == r.events_in
+    assert cat.incomplete_runs() == set()

@@ -111,10 +111,17 @@ def minhash_lsh_pairs(
         word_shingles(F.col(content_col), shingle_n).alias("__sh"),
     ).filter(F.size("__sh") > 0)
     hashed = base.select("__id", "__sh", hash_shingles(F.col("__sh")).alias("__hs"))
-    sig = hashed.withColumn("__sig", minhash_signature(F.col("__hs"), num_hashes)).drop("__hs")
+    sig = hashed.select(
+        "__id", minhash_signature(F.col("__hs"), num_hashes).alias("__sig")
+    )
 
+    # the band explode and candidate self-join carry ONLY (id, band, bucket)
+    # — 24 bytes/row — never the shingle arrays; shipping the heaviest column
+    # through a `bands`-way explode would amplify its shuffle bytes by the
+    # band count at scale. Shingle sets cross the wire once per doc in the
+    # verification joins below, not once per band.
     banded = sig.select(
-        "__id", "__sh",
+        "__id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -135,17 +142,15 @@ def minhash_lsh_pairs(
             & (F.col("a.__bh") == F.col("b.__bh"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sh").alias("sh_a"),
-            F.col("b.__sh").alias("sh_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -409,25 +409,30 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join).
-    xxhash64-based — no DuckDB oracle; pinned by tests/test_ml.py."""
+    hash='poly' (universal-hash permutations mod 2^31-1) so the whole
+    pipeline — shingles, signatures, band buckets, exact-Jaccard verify —
+    has a value-level DuckDB oracle; the xxhash64 production default is
+    pinned by tests/test_ml.py against a brute-force pandas oracle."""
     from beats_spark.ml.dedup import minhash_lsh_pairs
 
     _prep(spark)
     # the tiny parquet arrives as ONE split; the signature pass is the heavy
-    # stage (num_hashes × shingles xxhash calls per row) so spread it first
+    # stage (num_hashes × shingles hash calls per row) so spread it first
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
         spark.sparkContext.defaultParallelism)
-    return minhash_lsh_pairs(docs, jaccard_threshold=0.3, bands=32)
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.3, bands=32,
+                             hash="poly")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures + near-dup pairs. Rows-only (xxhash64)."""
+    """SimHash near-dup pairs; hash='poly' (62-bit dual polynomial hash)
+    gives the signature+bucket+Hamming pipeline a DuckDB oracle."""
     from beats_spark.ml.dedup import simhash_pairs
 
     _prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
         spark.sparkContext.defaultParallelism)
-    return simhash_pairs(docs, max_hamming=12, prefix_bits=4)
+    return simhash_pairs(docs, max_hamming=12, prefix_bits=4, hash="poly")
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,34 +449,34 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (hyperplane signatures, multi-probe). Rows-only;
-    recall pinned vs brute force in tests/test_ml.py."""
+    """LSH-bucketed ANN (hyperplane signatures, multi-probe).
+    coef_hash='poly' (multiplicative hash mod 2^31-1) makes the plane
+    coefficients DuckDB-reproducible, so the probe + exact-cosine top-k has
+    a value-level oracle; recall of the xxhash64 default is pinned vs brute
+    force in tests/test_ml.py."""
     from beats_spark.ml.similarity import lsh_topk
 
     _prep(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0)
          .select("embedding").first()["embedding"]]
-    return lsh_topk(emb, q, k=10, probe_hamming=3, exclude_id=0)
+    return lsh_topk(emb, q, k=10, probe_hamming=3, exclude_id=0,
+                    coef_hash="poly")
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine near-dup pairs, brute-force within label blocks
-    (exact; the LSH-bucketed variant is q_similarity_lsh's machinery)."""
-    from beats_spark.ml.similarity import cosine
+    """Embedding cosine near-dup pairs via the SCALE-SAFE plan: hyperplane
+    bucket join (candidates only within equal sign-bit buckets), exact
+    cosine verify inside buckets — never an O(n²) block self-join (a single
+    hot label would blow up quadratically at scale). coef_hash='poly' so
+    the bucket arithmetic is replicated in the DuckDB oracle; the
+    brute-force variant remains the pytest recall cross-check."""
+    from beats_spark.ml.dedup import embedding_neardup_pairs
 
     _prep(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    v = F.col("embedding").cast("array<double>")
-    base = emb.select(F.col("vec_id").alias("id"), F.col("label"), v.alias("v"))
-    a, b = base.alias("a"), base.alias("b")
-    pairs = a.join(
-        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.id") < F.col("b.id"))
-    ).select(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos4"),
-    )
-    return pairs.filter(F.col("cos4") >= 0.35)
+    return embedding_neardup_pairs(emb, threshold=0.35, num_planes=6,
+                                   coef_hash="poly")
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,6 +618,37 @@ def oracle_sql() -> dict[str, str]:
               "'|turn_idx|' || CAST(turn_idx AS VARCHAR) || '|'")
 
     word_hash = "list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split({w}, ''), c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % 2147483647)"
+
+    # -- portable polynomial-hash replicas of the ml.dedup/ml.similarity
+    #    'poly' hash mode (see beats_spark/ml/dedup.py POLY_P): the SAME
+    #    integer/double arithmetic as the Spark expressions, so MinHash,
+    #    SimHash and hyperplane-LSH queries get value-level oracles.
+    def char_poly(s: str, base: int = 31, seed: int = 7) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST({seed} AS BIGINT), "
+            f"list_transform(string_split({s}, ''), "
+            "c -> CAST(ascii(c) AS BIGINT))), "
+            f"(a, c) -> (a * {base} + c) % 2147483647)"
+        )
+
+    # hyperplane bucket of a double-list column {v}: sign bit per plane,
+    # coef(p,d) = (char_poly(decimal_string(p*16384+d+1)) % 2000 - 1000)/1000,
+    # proj summed left-to-right exactly like F.aggregate
+    def hyperplane_bucket_sql(v: str, num_planes: int) -> str:
+        terms = []
+        for p in range(num_planes):
+            mixed = char_poly(f"CAST({p} * 16384 + d + 1 AS VARCHAR)")
+            coef = f"CAST(({mixed}) % 2000 - 1000 AS DOUBLE) / 1000.0"
+            proj = (
+                "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"[{v}[d + 1] * ({coef}) for d in range(0, len({v}))]), "
+                "(a, b) -> a + b)"
+            )
+            terms.append(
+                f"(CASE WHEN ({proj}) > 0 THEN CAST({1 << p} AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END)"
+            )
+        return "(" + " + ".join(terms) + ")"
     shingle_hash = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(list_slice(toks, i + 1, i + 5), w -> "
@@ -765,6 +801,113 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.12
         """,
+        # MinHash 'poly' replica: shingle char-hash → 64 universal-hash
+        # permutations (a_s·h+b_s mod P) → min per seed → 32 bands of 2 rows
+        # hashed polynomially → bucket join → exact Jaccard ≥ 0.3
+        "dedup_minhash_lsh": f"""
+            WITH w AS (SELECT doc_id, {toks} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id,
+                list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                  for i in range(0, len(toks) - 2)]) AS s
+              FROM w WHERE len(toks) >= 3
+            ),
+            hs AS (SELECT doc_id, s,
+                     list_transform(s, t -> {char_poly('t')}) AS h
+                   FROM sh),
+            sig AS (
+              SELECT doc_id, s,
+                [list_min(list_transform(h,
+                   x -> ((((seed * 2 + 1) * 1103515245) % 2147483647) * x
+                         + ((seed * 12345 + 7) % 2147483647)) % 2147483647))
+                 for seed in range(0, 64)] AS sg
+              FROM hs
+            ),
+            band AS (
+              SELECT doc_id, b,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  sg[b * 2 + 1 : b * 2 + 2]),
+                  (a, m) -> (a * 1000003 + m) % 2147483647) AS bh
+              FROM sig, range(32) r(b)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM band a JOIN band b
+                ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+            FROM cand
+            JOIN sh sa ON sa.doc_id = id_a
+            JOIN sh sb ON sb.doc_id = id_b
+            WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.3
+        """,
+        # SimHash 'poly' replica: one polynomial token hash, then a ±1 vote
+        # per bit from an independent universal hash (a_i·h+b_i mod P ≥ P/2)
+        # via unnest × range(64); pack sign bits, bucket on the top 4 bits,
+        # exact Hamming ≤ 12
+        "dedup_simhash": f"""
+            WITH w AS (SELECT doc_id, {toks} AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS t FROM w),
+            h AS (SELECT doc_id, {char_poly('t')} AS h FROM tok),
+            cnt AS (
+              SELECT doc_id, i,
+                sum(CASE WHEN
+                      ((((i * 2 + 1) * 1103515245) % 2147483647) * h
+                       + ((i * 12345 + 7) % 2147483647)) % 2147483647 * 2
+                      >= 2147483647
+                    THEN 1 ELSE -1 END) AS sgn
+              FROM h, range(64) r(i) GROUP BY doc_id, i
+            ),
+            simgrp AS (
+              -- bit 63 wraps to the sign bit exactly as Spark's shiftleft
+              -- does; DuckDB raises on 1<<63, so it is spelled as min-int
+              SELECT doc_id,
+                CAST(sum(CASE WHEN sgn > 0
+                              THEN (CASE WHEN i = 63
+                                    THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                                    ELSE (CAST(1 AS BIGINT) << i) END)
+                              ELSE 0 END)
+                     AS BIGINT) AS sim
+              FROM cnt GROUP BY doc_id
+            ),
+            sim AS (
+              SELECT w.doc_id, coalesce(s.sim, 0) AS sim
+              FROM w LEFT JOIN simgrp s USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sim, b.sim)) AS hamming
+            -- arithmetic >> then & 15 equals Spark's shiftrightunsigned
+            -- for a 4-bit prefix, sign bit included
+            FROM sim a JOIN sim b
+              ON ((a.sim >> 60) & 15) = ((b.sim >> 60) & 15)
+              AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 12
+        """,
+        # hyperplane-LSH ANN 'poly' replica: bucket both corpus and query
+        # with the same deterministic planes, probe Hamming ≤ 3, exact
+        # cosine + top-10 inside the probed slice
+        "similarity_lsh": f"""
+            WITH base AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            bkt AS (SELECT vec_id, v,
+                      {hyperplane_bucket_sql('v', 8)} AS b
+                    FROM base),
+            q AS (SELECT v AS qv, b AS qb FROM bkt WHERE vec_id = 0),
+            scored AS (
+              SELECT p.vec_id,
+                list_dot_product(p.v, q.qv)
+                / (sqrt(list_dot_product(p.v, p.v))
+                   * sqrt(list_dot_product(q.qv, q.qv))) AS s
+              FROM bkt p, q
+              WHERE p.vec_id != 0 AND bit_count(xor(p.b, q.qb)) <= 3)
+            SELECT vec_id, round(s, 6) AS score
+            FROM scored ORDER BY s DESC, vec_id LIMIT 10
+        """,
         "similarity_topk": """
             WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
                        FROM embeddings WHERE vec_id = 0),
@@ -778,18 +921,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(round(s, 6), 4) AS score4
             FROM scored ORDER BY s DESC, vec_id LIMIT 10
         """,
-        "embedding_neardup": """
-            WITH v AS (SELECT vec_id AS id, label,
+        # bucketed near-dup 'poly' replica: candidates only within equal
+        # 6-plane sign buckets (the scale-safe plan), exact cosine verify
+        "embedding_neardup": f"""
+            WITH base AS (SELECT vec_id AS id,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                       FROM embeddings)
+                       FROM embeddings),
+            bkt AS (SELECT id, v, {hyperplane_bucket_sql('v', 6)} AS b
+                    FROM base)
             SELECT a.id AS id_a, b.id AS id_b,
                    round(list_dot_product(a.v, b.v)
                          / (sqrt(list_dot_product(a.v, a.v))
-                            * sqrt(list_dot_product(b.v, b.v))), 4) AS cos4
-            FROM v a JOIN v b ON a.label = b.label AND a.id < b.id
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM bkt a JOIN bkt b ON a.b = b.b AND a.id < b.id
             WHERE round(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v))
-                           * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
         """,
         "text_quality": f"""
             WITH f AS (

@@ -15,6 +15,24 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+# Portable polynomial-hash constants (the ``hash='poly'`` mode below): the
+# same integer arithmetic is expressible in ANSI SQL / DuckDB, so queries
+# built with it get a real value-level oracle. xxhash64 stays the production
+# default (better mixing, one JVM intrinsic per value). mod P = 2^31-1 keeps
+# every intermediate product inside int64.
+POLY_P = 2_147_483_647
+
+
+def poly_string_hash(t: Column, base: int = 31, seed: int = 7) -> Column:
+    """Polynomial hash over character codes in [0, P) — DuckDB-expressible
+    (list_reduce over string_split)."""
+    return F.aggregate(
+        F.split(t, ""),
+        F.lit(seed).cast("long"),
+        lambda acc, c: F.pmod(acc * base + F.ascii(c), F.lit(POLY_P)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # tokenization / shingling (shared, pure JVM)
 # ---------------------------------------------------------------------------
@@ -65,28 +83,44 @@ def exact_dedup(df: DataFrame, content_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(col: Column, num_hashes: int = 64) -> Column:
+def minhash_signature(col: Column, num_hashes: int = 64,
+                      hash: str = "xx") -> Column:
     """array<bigint> of per-seed min-hashes over the shingle set.
 
-    Each variable-length string shingle is hashed to 64 bits ONCE; the
-    ``num_hashes`` permutations then re-hash the fixed 8-byte value with the
-    seed (xxhash64(h, seed)) — 64× less string hashing than hashing the
-    shingle text per seed, same minwise-independence properties. Fully
-    JVM-side higher-order functions, no UDF.
+    Each variable-length string shingle is hashed ONCE (see hash_shingles);
+    the ``num_hashes`` permutations then re-hash the fixed 8-byte value with
+    the seed — 64× less string hashing than hashing the shingle text per
+    seed, same minwise-independence properties. Fully JVM-side higher-order
+    functions, no UDF.
+
+    ``hash='xx'`` (default) permutes with xxhash64(h, seed); ``'poly'`` uses
+    the universal-hash family (a_s*h + b_s) mod P with deterministic odd
+    a_s — weaker mixing, but byte-for-byte reproducible in DuckDB for the
+    driver's value-level oracle.
     """
+    def perm(seed: Column, h: Column) -> Column:
+        if hash == "xx":
+            return F.xxhash64(h, seed)
+        s = seed.cast("long")
+        a = F.pmod((s * 2 + 1) * F.lit(1103515245), F.lit(POLY_P))
+        b = F.pmod(s * 12345 + 7, F.lit(POLY_P))
+        return F.pmod(a * h + b, F.lit(POLY_P))
+
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda seed: F.array_min(
-            F.transform(col, lambda h: F.xxhash64(h, seed))
+            F.transform(col, lambda h: perm(seed, h))
         ),
     )
 
 
-def hash_shingles(col: Column) -> Column:
+def hash_shingles(col: Column, hash: str = "xx") -> Column:
     """string shingles → int64 hashes; materialize this as its OWN projected
     column before minhash_signature so the string hashing runs once per row
     (CollapseProject keeps non-cheap expressions from being inlined 64×)."""
-    return F.transform(col, lambda s: F.xxhash64(s))
+    if hash == "xx":
+        return F.transform(col, lambda s: F.xxhash64(s))
+    return F.transform(col, lambda s: poly_string_hash(s))
 
 
 def minhash_lsh_pairs(
@@ -97,6 +131,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    hash: str = "xx",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -110,10 +145,22 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id"),
         word_shingles(F.col(content_col), shingle_n).alias("__sh"),
     ).filter(F.size("__sh") > 0)
-    hashed = base.select("__id", "__sh", hash_shingles(F.col("__sh")).alias("__hs"))
-    sig = hashed.select(
-        "__id", minhash_signature(F.col("__hs"), num_hashes).alias("__sig")
+    hashed = base.select(
+        "__id", "__sh", hash_shingles(F.col("__sh"), hash).alias("__hs")
     )
+    sig = hashed.select(
+        "__id", minhash_signature(F.col("__hs"), num_hashes, hash).alias("__sig")
+    )
+
+    def band_hash(sl: Column) -> Column:
+        if hash == "xx":
+            # xxhash64 hashes the sliced array<long> directly — no
+            # per-band string materialization
+            return F.xxhash64(sl)
+        return F.aggregate(
+            sl, F.lit(0).cast("long"),
+            lambda acc, m: F.pmod(acc * 1000003 + m, F.lit(POLY_P)),
+        )
 
     # the band explode and candidate self-join carry ONLY (id, band, bucket)
     # — 24 bytes/row — never the shingle arrays; shipping the heaviest column
@@ -125,9 +172,7 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                # xxhash64 hashes the sliced array<long> directly — no
-                # per-band string materialization
-                lambda b: F.xxhash64(
+                lambda b: band_hash(
                     F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
                 ),
             )
@@ -199,30 +244,48 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(col: Column, bits: int = 64) -> Column:
+def simhash(col: Column, bits: int = 64, hash: str = "xx") -> Column:
     """Charikar SimHash over whitespace tokens, as a bigint.
 
-    bit_i = sign of sum over tokens of ±1 by the i-th bit of xxhash64(token).
-    ONE pass over the tokens with an array<long> accumulator (zip_with adds
-    the ±1 vector of each token's hash), then the sign vector is packed into
-    a single long. All higher-order array functions — no UDF, no shuffle,
-    token list traversed once.
+    bit_i = sign of sum over tokens of a ±1 vote per token. ONE pass over
+    the tokens with an array<long> accumulator (zip_with adds the ±1 vector
+    of each token's hash), then the sign vector is packed into a single
+    long. All higher-order array functions — no UDF, no shuffle, token list
+    traversed once.
+
+    Votes: ``hash='xx'`` uses bit i of xxhash64(token). ``'poly'`` hashes
+    the token polynomially ONCE, then votes per bit with an independent
+    universal hash (a_i·h+b_i mod P ≥ P/2) — bit-slicing a polynomial hash
+    is NOT avalanche-y (correlated sign bits across documents), per-bit
+    universal hashing is the textbook random-projection construction and
+    stays DuckDB-reproducible.
     """
+    if hash == "xx":
+        def vote(h: Column, i: Column) -> Column:
+            return F.when(
+                F.call_function("shiftright", h, i.cast("int")).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long"))
+        tok_hash = lambda t: F.xxhash64(t)  # noqa: E731
+    else:
+        def vote(h: Column, i: Column) -> Column:
+            s = i.cast("long")
+            a = F.pmod((s * 2 + 1) * F.lit(1103515245), F.lit(POLY_P))
+            b = F.pmod(s * 12345 + 7, F.lit(POLY_P))
+            return F.when(
+                F.pmod(a * h + b, F.lit(POLY_P)) * 2 >= F.lit(POLY_P),
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long"))
+        tok_hash = lambda t: poly_string_hash(t)  # noqa: E731
     toks = words(col)
     idx = F.sequence(F.lit(0), F.lit(bits - 1))
     zeros = F.transform(idx, lambda i: F.lit(0).cast("long") + i * 0)
     counts = F.aggregate(
-        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.transform(toks, tok_hash),
         zeros,
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                idx,
-                lambda i: F.when(
-                    F.call_function("shiftright", h, i.cast("int")).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long")),
-            ),
+            F.transform(idx, lambda i: vote(h, i)),
             lambda a, b: a + b,
         ),
     )
@@ -246,13 +309,15 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    hash: str = "xx",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
     (docs within hamming<=k usually share a 16-bit prefix when k is small;
     production would use the standard 4-table permutation trick — same
     join shape, 4× the buckets), verify with exact Hamming distance."""
     base = df.select(
-        F.col(id_col).alias("__id"), simhash(F.col(content_col)).alias("__sim")
+        F.col(id_col).alias("__id"),
+        simhash(F.col(content_col), hash=hash).alias("__sim"),
     )
     bucket = F.shiftrightunsigned(F.col("__sim"), 64 - prefix_bits)
     base = base.withColumn("__bkt", bucket)
@@ -279,6 +344,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     num_planes: int = 8,
+    coef_hash: str = "xx",
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, candidates from
     random-hyperplane buckets (two vectors at angle θ collide with prob
@@ -288,7 +354,7 @@ def embedding_neardup_pairs(
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("__bkt", hyperplane_bucket(F.col("__v"), num_planes))
+    ).withColumn("__bkt", hyperplane_bucket(F.col("__v"), num_planes, coef_hash))
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, (F.col("a.__bkt") == F.col("b.__bkt")) & (F.col("a.__id") < F.col("b.__id")))

@@ -37,15 +37,27 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-# deterministic "random" hyperplane coefficient in [-1, 1): plane p, dim d
-def _plane_coef(p: int, d: Column) -> Column:
-    return (
-        F.pmod(F.xxhash64(F.lit(p) * 16384 + d), F.lit(2000)).cast("double")
-        - F.lit(1000.0)
-    ) / F.lit(1000.0)
+# deterministic "random" hyperplane coefficient in [-1, 1): plane p, dim d.
+# coef_hash='xx' mixes with xxhash64 (production default); 'poly' hashes
+# the DECIMAL-STRING of the index polynomially — digit decomposition is
+# nonlinear, so consecutive (p, d) don't produce arithmetic-progression
+# coefficients (a purely multiplicative mix does, and correlated planes
+# wreck LSH recall) — and the same arithmetic is DuckDB-replicable, giving
+# hyperplane-bucketed queries a value-level oracle.
+def _plane_coef(p: int, d: Column, coef_hash: str = "xx") -> Column:
+    if coef_hash == "xx":
+        mixed = F.xxhash64(F.lit(p) * 16384 + d)
+    else:
+        from beats_spark.ml.dedup import poly_string_hash
+
+        mixed = poly_string_hash(
+            (F.lit(p).cast("long") * 16384 + d + 1).cast("string")
+        )
+    return (F.pmod(mixed, F.lit(2000)).cast("double") - F.lit(1000.0)) / F.lit(1000.0)
 
 
-def hyperplane_bucket(vec: Column, num_planes: int = 8) -> Column:
+def hyperplane_bucket(vec: Column, num_planes: int = 8,
+                      coef_hash: str = "xx") -> Column:
     """Sign-bit signature of ``vec`` against ``num_planes`` deterministic
     hyperplanes, packed into a bigint bucket id."""
     out = F.lit(0).cast("long")
@@ -54,7 +66,7 @@ def hyperplane_bucket(vec: Column, num_planes: int = 8) -> Column:
             F.zip_with(
                 vec,
                 F.transform(F.sequence(F.lit(0), F.size(vec) - 1),
-                            lambda d: _plane_coef(p, d)),
+                            lambda d: _plane_coef(p, d, coef_hash)),
                 lambda x, c: x * c,
             ),
             F.lit(0.0),
@@ -106,6 +118,7 @@ def lsh_topk(
     num_planes: int = 8,
     probe_hamming: int = 2,
     exclude_id: int | None = None,
+    coef_hash: str = "xx",
 ) -> DataFrame:
     """ANN top-k: scan only corpus rows whose hyperplane bucket is within
     ``probe_hamming`` bits of the query's bucket (multi-probe LSH), then
@@ -120,9 +133,9 @@ def lsh_topk(
     base = corpus.select(
         F.col(id_col),
         vec.alias("__v"),
-        hyperplane_bucket(vec, num_planes).alias("__bkt"),
+        hyperplane_bucket(vec, num_planes, coef_hash).alias("__bkt"),
     )
-    qb = hyperplane_bucket(q, num_planes)
+    qb = hyperplane_bucket(q, num_planes, coef_hash)
     probed = base.filter(F.bit_count(F.col("__bkt").bitwiseXOR(qb)) <= probe_hamming)
     if exclude_id is not None:
         probed = probed.filter(F.col(id_col) != exclude_id)

@@ -195,3 +195,43 @@ def test_multimodal_features_and_frames(spark):
     resized = multimodal.resize_stub(media, 64, 64)
     img = resized.filter(F.col("kind") == "image").select("meta.width").distinct().collect()
     assert [r["width"] for r in img] == [64]
+
+
+@pytest.mark.parametrize("hash_mode", ["poly"])
+def test_minhash_lsh_poly_mode(docs, hash_mode):
+    """hash='poly' (the DuckDB-oracle-portable permutation family) keeps
+    exact precision and high recall, like the xxhash64 default."""
+    pdf = docs.toPandas()
+    want = _jaccard_pairs_oracle(pdf, 0.8)
+    got = dedup.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.8, hash=hash_mode).toPandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    assert got_pairs <= want
+    assert len(got_pairs) >= 0.9 * len(want)
+
+
+def test_simhash_poly_mode(docs):
+    """poly mode: exact-duplicate pairs still collide at hamming 0, and the
+    per-bit universal-hash votes keep the pair volume in the same regime as
+    xxhash64 bit votes (bit-sliced polynomial hashes would not)."""
+    got = dedup.simhash_pairs(docs, max_hamming=3, hash="poly").toPandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    pdf = docs.toPandas()
+    dup_pairs = {
+        (int(i), int(i) + 100000) for i in pdf["doc_id"] if i % 10 == 0 and i < 100000
+    }
+    assert dup_pairs <= pairs
+    n_xx = len(dedup.simhash_pairs(docs, max_hamming=3).toPandas())
+    assert len(got) <= 5 * max(n_xx, 1)
+
+
+def test_lsh_topk_poly_mode(emb):
+    """poly plane coefficients: probed ANN still recalls most of the exact
+    brute-force top-10."""
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = similarity.cosine_topk(emb, q, k=10, exclude_id=0).toPandas()
+    approx = similarity.lsh_topk(emb, q, k=10, probe_hamming=3,
+                                 exclude_id=0, coef_hash="poly").toPandas()
+    overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
+    assert overlap >= 6

@@ -331,6 +331,39 @@ def q_multiline_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("conv_id", "turn_idx", "role", "text")
 
 
+def q_multiline_while(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiline while_pattern mode (libbeat/reader/multiline/while.go):
+    consecutive info lines combine into one event; every other line is a
+    singleton event."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    stages = build_chain([
+        {"multiline": {"type": "while_pattern", "pattern": "^level=info",
+                       "partition_by": ["conv_id"], "order_by": ["turn_idx"],
+                       "field": "text"}},
+    ])
+    df = apply_chain(_transcripts(spark, sf_dir), stages)
+    return df.select("conv_id", "turn_idx", "role", "text")
+
+
+def q_multiline_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiline flush_pattern (pattern.go:208-219): lines accumulate until
+    a flush-matching (error) line, which is appended and finalizes the
+    event."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    stages = build_chain([
+        # a never-matching start pattern with negate: everything glues;
+        # flush_pattern alone delimits events
+        {"multiline": {"pattern": ".^", "negate": True, "match": "after",
+                       "flush_pattern": "^level=error",
+                       "partition_by": ["conv_id"], "order_by": ["turn_idx"],
+                       "field": "text"}},
+    ])
+    df = apply_chain(_transcripts(spark, sf_dir), stages)
+    return df.select("conv_id", "turn_idx", "role", "text")
+
+
 def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rate_limit processor (ratelimit/token_bucket.go) as windowed top-N:
     ≤5 events per (tool, minute); output surviving count per tool (count is
@@ -572,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_json": q_decode_json,
         "multiline_merge": q_multiline_merge,
         "multiline_pattern": q_multiline_pattern,
+        "multiline_while": q_multiline_while,
+        "multiline_flush": q_multiline_flush,
         "rate_limit": q_rate_limit,
         "enrich_lookup": q_enrich_lookup,
         "script_mapinpandas": q_script_mapinpandas,
@@ -749,6 +784,43 @@ def oracle_sql() -> dict[str, str]:
                  SELECT *, CASE WHEN NOT regexp_matches(text, '^level=')
                                      AND row_number() OVER w > 1
                                 THEN 0 ELSE 1 END AS start
+                 FROM transcripts
+                 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+               ), grp AS (
+                 SELECT *, sum(start) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gid
+                 FROM flagged
+               )
+               SELECT conv_id, min(turn_idx) AS turn_idx,
+                      arg_min(role, turn_idx) AS role,
+                      string_agg(text, chr(10) ORDER BY turn_idx) AS text
+               FROM grp GROUP BY conv_id, gid"""
+        ),
+        "multiline_while": _with_t(
+            """, flagged AS (
+                 SELECT *,
+                   regexp_matches(text, '^level=info') AS hit,
+                   CASE WHEN regexp_matches(text, '^level=info')
+                             AND coalesce(lag(regexp_matches(text, '^level=info'))
+                                          OVER w, false)
+                        THEN 0 ELSE 1 END AS start
+                 FROM transcripts
+                 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+               ), grp AS (
+                 SELECT *, sum(start) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gid
+                 FROM flagged
+               )
+               SELECT conv_id, min(turn_idx) AS turn_idx,
+                      arg_min(role, turn_idx) AS role,
+                      string_agg(text, chr(10) ORDER BY turn_idx) AS text
+               FROM grp GROUP BY conv_id, gid"""
+        ),
+        "multiline_flush": _with_t(
+            """, flagged AS (
+                 SELECT *,
+                   CASE WHEN row_number() OVER w = 1
+                             OR coalesce(lag(regexp_matches(text, '^level=error'))
+                                         OVER w, false)
+                        THEN 1 ELSE 0 END AS start
                  FROM transcripts
                  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
                ), grp AS (

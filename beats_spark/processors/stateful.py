@@ -15,21 +15,62 @@ from beats_spark.event import get_path
 from beats_spark.processors.base import Stage, register
 
 
+_ML_KEYS = {
+    "type", "field", "partition_by", "order_by", "pattern", "negate",
+    "match", "count_lines", "max_lines", "separator", "flush_pattern",
+    "timeout", "ts_field",
+}
+
+
+def _parse_duration_secs(v: Any) -> float:
+    if isinstance(v, (int, float)):
+        return float(v)
+    s = str(v).strip()
+    mult = {"s": 1.0, "m": 60.0, "h": 3600.0}
+    if s and s[-1] in mult:
+        return float(s[:-1]) * mult[s[-1]]
+    return float(s)
+
+
 @register("multiline")
 def multiline(cfg: dict[str, Any]) -> Stage:
     """Merge consecutive rows into one event (libbeat/reader/multiline:
-    pattern.go — ``pattern`` + ``negate`` + ``match: after|before``;
-    counter.go — ``count_lines``; ``max_lines`` cap).
+    pattern.go — ``pattern`` + ``negate`` + ``match: after|before`` +
+    ``flush_pattern``; counter.go — ``count_lines``; while.go —
+    ``type: while_pattern``; ``max_lines`` cap; ``timeout``).
 
-    Config: ``field`` (text), ``partition_by`` (e.g. [conv_id]),
-    ``order_by`` (e.g. [turn_idx]), ``pattern``, ``negate``, ``match``,
-    ``count_lines``, ``max_lines``, ``separator`` (default "\\n").
+    Config: ``type`` (pattern|count|while_pattern; default inferred —
+    count when ``count_lines`` is set, else pattern), ``field`` (text),
+    ``partition_by`` (e.g. [conv_id]), ``order_by`` (e.g. [turn_idx]),
+    ``pattern``, ``negate``, ``match``, ``flush_pattern``, ``count_lines``,
+    ``max_lines``, ``separator`` (default "\\n"), ``timeout`` (+
+    ``ts_field``). Unknown keys raise at plan time (a silently ignored
+    ``while_pattern`` key would change semantics without warning).
+
+    Semantics per mode:
+    - pattern: a (negated) non-match starts a new event ("after") or a match
+      glues to the NEXT line ("before"). A ``flush_pattern`` match is
+      appended to the current event and finalizes it (pattern.go:208-219),
+      so the following line always starts fresh.
+    - while_pattern (while.go:103-171): consecutive MATCHING lines combine;
+      every non-matching line is its own single-line event.
+    - count: fixed-size groups of ``count_lines``.
+
+    ``timeout`` (pattern/while modes; multiline_config.go:59, the
+    5s-default flush timer) is re-expressed in event time: an event-time
+    gap > timeout between consecutive rows starts a new event.
 
     Implementation: a start-of-group flag, a running ``sum`` over an ordered
     window → group id, then one groupBy concatenating lines in order. First
     row of each group keeps all other columns (reference keeps the first
     event's fields and appends content).
     """
+    unknown = set(cfg) - _ML_KEYS
+    if unknown:
+        raise ValueError(
+            f"multiline: unknown config keys {sorted(unknown)} "
+            f"(known: {sorted(_ML_KEYS)})"
+        )
     fld = cfg.get("field", "text")
     part = cfg.get("partition_by", ["conv_id"])
     order = cfg.get("order_by", ["turn_idx"])
@@ -39,19 +80,38 @@ def multiline(cfg: dict[str, Any]) -> Stage:
     count_lines = cfg.get("count_lines")
     max_lines = cfg.get("max_lines")
     sep = cfg.get("separator", "\n")
+    flush_pattern = cfg.get("flush_pattern")
+    timeout = cfg.get("timeout")
+    ts_field = cfg.get("ts_field", "ts")
+    mode = cfg.get("type") or ("count" if count_lines else "pattern")
+    if mode not in ("pattern", "count", "while_pattern"):
+        raise ValueError(f"multiline: unknown type {mode!r}")
+    if mode in ("pattern", "while_pattern") and not pattern:
+        # multiline_config.go Validate(): ErrMissingPattern
+        raise ValueError(f"multiline: type {mode!r} requires 'pattern'")
+    if mode == "count" and not count_lines:
+        raise ValueError("multiline: type 'count' requires 'count_lines'")
+    if mode == "pattern" and match not in ("after", "before"):
+        raise ValueError(f"multiline: unknown matcher type {match!r}")
 
     class Multiline(Stage):
         def custom(self, df: DataFrame) -> DataFrame:
             w = Window.partitionBy(*part).orderBy(*order)
             line = get_path(df, fld).cast("string")
-            if count_lines:
+            first = F.row_number().over(w) == 1
+            if mode == "count":
                 rn = F.row_number().over(w) - F.lit(1)
                 start = (rn % F.lit(int(count_lines))) == 0
             else:
                 hit = line.rlike(pattern)
                 if negate:
                     hit = ~hit
-                if match == "after":
+                if mode == "while_pattern":
+                    # a line joins the previous event only while BOTH match;
+                    # non-matching lines are singleton events (while.go:168)
+                    prev_hit = F.coalesce(F.lag(hit, 1, False).over(w), F.lit(False))
+                    start = ~(hit & prev_hit)
+                elif match == "after":
                     # a NON-matching line starts a new event; matching lines
                     # glue to the previous one (pattern.go "after" mode)
                     start = ~hit
@@ -59,7 +119,19 @@ def multiline(cfg: dict[str, Any]) -> Stage:
                     prev_hit = F.lag(hit, 1, False).over(w)
                     start = ~F.coalesce(prev_hit, F.lit(False))
                 start = F.coalesce(start, F.lit(True))
-                first = F.row_number().over(w) == 1
+                if flush_pattern is not None and mode == "pattern":
+                    # a flush-matching line is glued into the CURRENT event
+                    # and finalizes it; the next line starts fresh
+                    fhit = F.coalesce(line.rlike(flush_pattern), F.lit(False))
+                    prev_flush = F.coalesce(
+                        F.lag(fhit, 1, False).over(w), F.lit(False)
+                    )
+                    start = (start & ~fhit) | prev_flush
+                if timeout is not None:
+                    secs = _parse_duration_secs(timeout)
+                    ts = get_path(df, ts_field).cast("timestamp").cast("double")
+                    gap = ts - F.lag(ts, 1).over(w)
+                    start = start | (F.coalesce(gap, F.lit(0.0)) > secs)
                 start = start | first
             df = df.withColumn("__ml_start", start.cast("int"))
             df = df.withColumn("__ml_gid", F.sum("__ml_start").over(w))

@@ -365,3 +365,70 @@ def test_script_map_in_pandas(spark):
 
     out = run(spark, [(1,), (2,)], "n int", [{"script": {"fn": fn}}])
     assert sorted(r["n"] for r in out.collect()) == [2, 4]
+
+
+def test_multiline_while_pattern(spark):
+    """while.go semantics: consecutive MATCHING lines combine; every
+    non-matching line is its own single-line event."""
+    rows = [
+        ("c1", 0, "part a"),
+        ("c1", 1, "part b"),
+        ("c1", 2, "standalone"),
+        ("c1", 3, "part c"),
+        ("c1", 4, "other"),
+        ("c1", 5, "also other"),
+    ]
+    out = run(
+        spark, rows, "conv_id string, turn_idx int, text string",
+        [{"multiline": {"type": "while_pattern", "pattern": r"^part",
+                        "partition_by": ["conv_id"], "order_by": ["turn_idx"]}}],
+    ).orderBy("turn_idx").collect()
+    assert [r["text"] for r in out] == [
+        "part a\npart b", "standalone", "part c", "other", "also other"]
+
+
+def test_multiline_flush_pattern(spark):
+    """pattern.go:208-219: a flush-matching line is appended to the current
+    event and finalizes it; the next line starts a new event."""
+    rows = [
+        ("c1", 0, "begin x"),
+        ("c1", 1, "cont 1"),
+        ("c1", 2, "END"),
+        ("c1", 3, "begin y"),
+        ("c1", 4, "END"),
+        ("c1", 5, "begin z"),
+    ]
+    out = run(
+        spark, rows, "conv_id string, turn_idx int, text string",
+        # negate+after with a never-starting pattern: everything glues ...
+        [{"multiline": {"pattern": r"^begin", "negate": True, "match": "after",
+                        "flush_pattern": r"^END",
+                        "partition_by": ["conv_id"], "order_by": ["turn_idx"]}}],
+    ).orderBy("turn_idx").collect()
+    assert [r["text"] for r in out] == [
+        "begin x\ncont 1\nEND", "begin y\nEND", "begin z"]
+
+
+def test_multiline_timeout_gap(spark):
+    """timeout re-expressed in event time: a gap > timeout starts a new
+    event even when the pattern would glue."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("c1", 0, "a", base),
+        ("c1", 1, "  cont", base + dt.timedelta(seconds=1)),
+        ("c1", 2, "  late cont", base + dt.timedelta(seconds=120)),
+    ]
+    out = run(
+        spark, rows, "conv_id string, turn_idx int, text string, ts timestamp",
+        [{"multiline": {"pattern": r"^\s", "match": "after", "timeout": "5s",
+                        "partition_by": ["conv_id"], "order_by": ["turn_idx"]}}],
+    ).orderBy("turn_idx").collect()
+    assert [r["text"] for r in out] == ["a\n  cont", "  late cont"]
+
+
+def test_multiline_unknown_key_raises(spark):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown config key"):
+        build_chain([{"multiline": {"pattern": "x", "wile_pattern": "typo"}}])
+    with _pytest.raises(ValueError, match="requires 'pattern'"):
+        build_chain([{"multiline": {"type": "while_pattern"}}])

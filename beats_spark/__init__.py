@@ -18,6 +18,8 @@ fmtstr.py       %{[field]} event-format strings -> Column (common/fmtstr)
 selector.py     output routing rules -> first-match-wins _sink Column
 processors/     the processor library (libbeat/processors/*)
 catalog.py      Iceberg-first table catalog with parquet+snapshot-log fallback
+iceberg.py      IcebergCatalog: same contract over a real Iceberg catalog
+                (runtime-guarded; this sandbox has no iceberg jar)
 pipeline.py     config -> composed plan -> fan-out run with metrics/lineage
 testdata.py     deterministic synthetic transcripts (FIXTURES.md §1)
 session.py      tuned SparkSession builder

@@ -14,9 +14,10 @@ log per table:
 A snapshot becomes visible only when its manifest line lands in the log
 (write-then-publish, like Iceberg's metadata swap), reads union only
 committed snapshot dirs, and incremental reads select snapshot ranges —
-which is exactly what checkpoint/resume consumes. Swapping in a real
-``IcebergCatalog`` is a strict drop-in: same five methods over
-``spark.sql("CALL ...")`` / ``writeTo(...).append()``.
+which is exactly what checkpoint/resume consumes. The real
+``IcebergCatalog`` (beats_spark/iceberg.py) implements the same contract
+over ``writeTo(...).append()`` / ``CALL <cat>.system.*`` and is a strict
+drop-in on a cluster with the Iceberg runtime jar.
 """
 
 from __future__ import annotations

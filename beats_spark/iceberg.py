@@ -1,0 +1,281 @@
+"""IcebergCatalog: the production catalog behind the same contract as
+``ParquetCatalog`` (catalog.py) — append / adopt_directory / read /
+read_since / snapshots / rollback_run / incomplete_runs — expressed over a
+real Iceberg Spark catalog (``spark.sql.catalog.<name>`` with the Iceberg
+runtime jar on the classpath).
+
+The reference's registrar offset checkpoint (filebeat/registrar/
+registrar.go:35,139,194) maps to Iceberg snapshot lineage exactly as in
+ParquetCatalog; the difference is that the publish point is Iceberg's
+atomic metadata swap instead of a JSONL append, and per-run bookkeeping
+rides in snapshot summary properties (``snapshot-property.run_id`` write
+option → the snapshot's ``summary['run_id']``).
+
+This sandbox has no Iceberg runtime jar, so the class is RUNTIME-GUARDED:
+construction probes the configured Spark catalog and raises a clear
+RuntimeError when Iceberg isn't on the classpath. Everything that can be
+unit-tested without the jar (SQL/plan building, run bookkeeping, snapshot
+set arithmetic) is factored into pure functions, tested in
+tests/test_iceberg.py.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class IcebergSnapshot:
+    snapshot_id: str
+    committed_at: float          # epoch seconds
+    run_id: str | None = None
+    parent_id: str | None = None
+    operation: str = "append"
+
+
+# -- pure plan/SQL builders (unit-testable without the Iceberg jar) ---------
+
+
+def qualified(catalog: str, namespace: str, table: str) -> str:
+    return f"{catalog}.{namespace}.{table}"
+
+
+def snapshots_sql(catalog: str, namespace: str, table: str) -> str:
+    """Query against the Iceberg ``<table>.snapshots`` metadata table; the
+    run id comes back from the snapshot summary map."""
+    t = qualified(catalog, namespace, table)
+    return (
+        "SELECT CAST(snapshot_id AS STRING) AS snapshot_id, "
+        "CAST(committed_at AS DOUBLE) AS committed_at, "
+        "CAST(parent_id AS STRING) AS parent_id, "
+        "operation, summary['run_id'] AS run_id "
+        f"FROM {t}.snapshots ORDER BY committed_at"
+    )
+
+
+def add_files_sql(catalog: str, namespace: str, table: str,
+                  src_dir: str) -> str:
+    """Adopt an already-written parquet directory (the cheap half of
+    single-pass fan-out) via the ``add_files`` procedure — a metadata-only
+    commit, no data rewrite."""
+    t = f"{namespace}.{table}"
+    return (
+        f"CALL {catalog}.system.add_files(table => '{t}', "
+        f"source_table => '`parquet`.`{src_dir}`')"
+    )
+
+
+def rollback_sql(catalog: str, namespace: str, table: str,
+                 snapshot_id: str) -> str:
+    t = f"{namespace}.{table}"
+    return (
+        f"CALL {catalog}.system.rollback_to_snapshot("
+        f"table => '{t}', snapshot_id => {snapshot_id})"
+    )
+
+
+def run_snapshots(snaps: list[IcebergSnapshot], run_id: str) -> list[IcebergSnapshot]:
+    return [s for s in snaps if s.run_id == run_id]
+
+
+def rollback_target(snaps: list[IcebergSnapshot], run_id: str) -> str | None:
+    """The snapshot to roll back to when removing a run: the parent of the
+    run's FIRST snapshot. Returns None when the run is unknown. Raises when
+    the run's snapshots are not the contiguous tail of history (another
+    run committed after it — rolling back would also drop that run's data;
+    the caller must cherry-pick instead, which append-only pipelines avoid
+    by rolling back crashed runs before starting new ones)."""
+    mine = run_snapshots(snaps, run_id)
+    if not mine:
+        return None
+    tail = snaps[-len(mine):]
+    if [s.snapshot_id for s in tail] != [s.snapshot_id for s in mine]:
+        raise ValueError(
+            f"run {run_id!r} snapshots are not the tail of table history; "
+            "roll back newer runs first"
+        )
+    return mine[0].parent_id
+
+
+def incomplete_run_ids(per_table_runs: dict[str, set[str]],
+                       lineage_runs: set[str],
+                       lineage_table: str = "lineage") -> set[str]:
+    """Runs that committed data/metrics snapshots but no lineage row —
+    identical arithmetic to ParquetCatalog.incomplete_runs."""
+    all_runs: set[str] = set()
+    for t, runs in per_table_runs.items():
+        if t != lineage_table:
+            all_runs |= runs
+    return all_runs - lineage_runs
+
+
+# -- the catalog -------------------------------------------------------------
+
+
+class IcebergCatalog:
+    """Same contract as ParquetCatalog, over a configured Iceberg catalog.
+
+    Usage (production cluster)::
+
+        spark = (SparkSession.builder
+                 .config("spark.sql.catalog.wh", "org.apache.iceberg.spark.SparkCatalog")
+                 .config("spark.sql.catalog.wh.type", "hadoop")
+                 .config("spark.sql.catalog.wh.warehouse", "s3://bucket/wh")
+                 .getOrCreate())
+        cat = IcebergCatalog(spark, catalog="wh", namespace="beats")
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str,
+                 namespace: str = "default", probe: bool = True):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        if probe:
+            self._probe()
+
+    def _probe(self) -> None:
+        try:
+            self.spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
+            )
+        except Exception as e:  # noqa: BLE001 — any failure means no runtime
+            raise RuntimeError(
+                f"Iceberg catalog {self.catalog!r} is not usable — is the "
+                "iceberg-spark-runtime jar on the classpath and "
+                f"spark.sql.catalog.{self.catalog} configured? ({e})"
+            ) from e
+
+    def _t(self, table: str) -> str:
+        return qualified(self.catalog, self.namespace, table)
+
+    # -- snapshot log --------------------------------------------------------
+
+    def snapshots(self, table: str) -> list[IcebergSnapshot]:
+        if not self.exists(table):
+            return []
+        rows = self.spark.sql(
+            snapshots_sql(self.catalog, self.namespace, table)
+        ).collect()
+        return [
+            IcebergSnapshot(
+                snapshot_id=r["snapshot_id"],
+                committed_at=float(r["committed_at"]) / 1000.0,
+                run_id=r["run_id"],
+                parent_id=r["parent_id"],
+                operation=r["operation"],
+            )
+            for r in rows
+        ]
+
+    def latest_snapshot(self, table: str) -> IcebergSnapshot | None:
+        snaps = self.snapshots(table)
+        return snaps[-1] if snaps else None
+
+    def new_snapshot_id(self, table: str) -> str:
+        # Iceberg assigns its own ids at commit; this is only a client token
+        return uuid.uuid4().hex[:16]
+
+    # -- write ---------------------------------------------------------------
+
+    def append(self, df: DataFrame, table: str,
+               run_id: str | None = None) -> IcebergSnapshot:
+        w = df.writeTo(self._t(table)).using("iceberg")
+        if run_id:
+            w = w.option("snapshot-property.run_id", run_id)
+        w.createOrReplace() if not self.exists(table) else w.append()
+        snap = self.latest_snapshot(table)
+        assert snap is not None
+        return snap
+
+    def adopt_directory(self, src_dir: str, table: str,
+                        run_id: str | None = None) -> IcebergSnapshot:
+        """Metadata-only adoption of a staged parquet dir (add_files);
+        run_id is stamped with a follow-up snapshot-property commit."""
+        self.spark.sql(
+            add_files_sql(self.catalog, self.namespace, table, src_dir)
+        )
+        if run_id:
+            self.spark.sql(
+                f"ALTER TABLE {self._t(table)} SET TBLPROPERTIES "
+                f"('last-run-id' = '{run_id}')"
+            )
+        snap = self.latest_snapshot(table)
+        assert snap is not None
+        return snap
+
+    # -- read ----------------------------------------------------------------
+
+    def exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._t(table))
+
+    def read(self, table: str,
+             snapshot_ids: list[str] | None = None) -> DataFrame:
+        if snapshot_ids is None:
+            return self.spark.read.format("iceberg").load(self._t(table))
+        # append-only history: a contiguous snapshot range reads as one
+        # incremental scan (start exclusive, end inclusive)
+        snaps = self.snapshots(table)
+        wanted = [s for s in snaps if s.snapshot_id in set(snapshot_ids)]
+        if not wanted:
+            raise ValueError(f"table {table!r}: no matching snapshots")
+        start = wanted[0].parent_id
+        reader = (self.spark.read.format("iceberg")
+                  .option("end-snapshot-id", wanted[-1].snapshot_id))
+        if start is not None:
+            reader = reader.option("start-snapshot-id", start)
+        return reader.load(self._t(table))
+
+    def read_since(self, table: str, after_snapshot_id: str | None
+                   ) -> tuple[DataFrame | None, list[str]]:
+        snaps = self.snapshots(table)
+        if after_snapshot_id is not None:
+            idx = next((i for i, s in enumerate(snaps)
+                        if s.snapshot_id == after_snapshot_id), None)
+            if idx is None:
+                raise ValueError(
+                    f"unknown snapshot {after_snapshot_id!r} in {table!r}")
+            snaps = snaps[idx + 1:]
+        if not snaps:
+            return None, []
+        reader = (self.spark.read.format("iceberg")
+                  .option("end-snapshot-id", snaps[-1].snapshot_id))
+        if after_snapshot_id is not None:
+            reader = reader.option("start-snapshot-id", after_snapshot_id)
+        return (reader.load(self._t(table)),
+                [s.snapshot_id for s in snaps])
+
+    # -- recovery -------------------------------------------------------------
+
+    def tables(self) -> list[str]:
+        rows = self.spark.sql(
+            f"SHOW TABLES IN {self.catalog}.{self.namespace}"
+        ).collect()
+        return sorted(r["tableName"] for r in rows)
+
+    def rollback_run(self, run_id: str) -> dict[str, int]:
+        removed: dict[str, int] = {}
+        for table in self.tables():
+            snaps = self.snapshots(table)
+            target = rollback_target(snaps, run_id)
+            mine = run_snapshots(snaps, run_id)
+            if not mine:
+                continue
+            if target is None:
+                # run created the table: drop it entirely
+                self.spark.sql(f"DROP TABLE {self._t(table)}")
+            else:
+                self.spark.sql(rollback_sql(
+                    self.catalog, self.namespace, table, target))
+            removed[table] = len(mine)
+        return removed
+
+    def incomplete_runs(self, lineage_table: str = "lineage") -> set[str]:
+        per_table = {
+            t: {s.run_id for s in self.snapshots(t) if s.run_id}
+            for t in self.tables()
+        }
+        lineage_runs: set[str] = per_table.get(lineage_table, set())
+        return incomplete_run_ids(per_table, lineage_runs, lineage_table)

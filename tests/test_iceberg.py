@@ -1,0 +1,68 @@
+"""IcebergCatalog: the jar isn't in this sandbox, so these tests cover the
+runtime guard plus every pure function (SQL/plan builders, run bookkeeping,
+rollback-target arithmetic) the catalog defers to."""
+
+import pytest
+
+from beats_spark.iceberg import (
+    IcebergCatalog,
+    IcebergSnapshot,
+    add_files_sql,
+    incomplete_run_ids,
+    qualified,
+    rollback_sql,
+    rollback_target,
+    run_snapshots,
+    snapshots_sql,
+)
+
+
+def snap(sid, run, parent):
+    return IcebergSnapshot(snapshot_id=sid, committed_at=0.0,
+                           run_id=run, parent_id=parent)
+
+
+def test_probe_raises_without_runtime(spark):
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        IcebergCatalog(spark, catalog="nosuch")
+
+
+def test_sql_builders():
+    assert qualified("wh", "beats", "sink_a") == "wh.beats.sink_a"
+    s = snapshots_sql("wh", "beats", "sink_a")
+    assert "wh.beats.sink_a.snapshots" in s and "summary['run_id']" in s
+    a = add_files_sql("wh", "beats", "sink_a", "/tmp/stage")
+    assert "wh.system.add_files" in a and "`parquet`.`/tmp/stage`" in a
+    r = rollback_sql("wh", "beats", "sink_a", "123")
+    assert "rollback_to_snapshot" in r and "snapshot_id => 123" in r
+
+
+def test_rollback_target_tail_run():
+    snaps = [snap("1", "r1", None), snap("2", "r2", "1"), snap("3", "r2", "2")]
+    assert rollback_target(snaps, "r2") == "1"
+    assert run_snapshots(snaps, "r2") == snaps[1:]
+
+
+def test_rollback_target_table_created_by_run():
+    snaps = [snap("1", "r1", None), snap("2", "r1", "1")]
+    # r1 created the table: no parent to roll back to -> None (drop table)
+    assert rollback_target(snaps, "r1") is None
+
+
+def test_rollback_target_unknown_run():
+    assert rollback_target([snap("1", "r1", None)], "nope") is None
+
+
+def test_rollback_target_non_tail_raises():
+    snaps = [snap("1", "r1", None), snap("2", "r2", "1"), snap("3", "r3", "2")]
+    with pytest.raises(ValueError, match="not the tail"):
+        rollback_target(snaps, "r2")
+
+
+def test_incomplete_run_arithmetic():
+    per_table = {
+        "sink_a": {"r1", "r2"},
+        "pipeline_metrics": {"r1", "r2", "r3"},
+        "lineage": {"r1", "r3"},
+    }
+    assert incomplete_run_ids(per_table, per_table["lineage"]) == {"r2"}

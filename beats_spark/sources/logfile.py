@@ -34,6 +34,43 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
+def _read_decoded_lines(spark: SparkSession, paths: list[str],
+                        glob: str | None, encoding: str) -> DataFrame:
+    """binaryFile scan → per-file charset decode → line split, Arrow-batched.
+
+    Parallelism is per file (binaryFile does not split), matching the
+    reference's one-harvester-per-file model; undecodable bytes are
+    replaced (U+FFFD), like Go's transform.Chain fallback behavior."""
+    import codecs
+
+    codecs.lookup(encoding)  # plan-time validation: unknown charset raises
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    bf = reader.load(paths).select("path", "content")
+
+    def decode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {"message": [], "__path": [], "__offset": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                text = bytes(content).decode(encoding, errors="replace")
+                lines = text.split("\n")
+                if lines and lines[-1] == "":
+                    lines.pop()  # trailing newline does not open a line
+                lines = [ln[:-1] if ln.endswith("\r") else ln for ln in lines]
+                out["message"].extend(lines)
+                out["__path"].extend([path] * len(lines))
+                out["__offset"].extend(range(len(lines)))
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        decode_batches, "message string, __path string, __offset long"
+    )
+
+
 def read_log_files(
     spark: SparkSession,
     paths: str | list[str],
@@ -53,24 +90,32 @@ def read_log_files(
     """
     if isinstance(paths, str):
         paths = [paths]
-    reader = spark.read
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
     if encoding and encoding.lower() not in ("utf-8", "utf8"):
-        # the text source is UTF-8; other charsets decode from binaryFile
-        # content via decode() — out of scope for the transcript pipeline
-        raise NotImplementedError(f"encoding {encoding!r}: only utf-8 here")
-    df = reader.text(paths)  # column: value
+        # non-UTF-8 charsets (legacy latin-1 / shift-jis corpora): the text
+        # source is UTF-8-only, so read whole files via binaryFile and
+        # decode per FILE in an Arrow-batched stage — the analogue of the
+        # encode reader in the harvester chain (libbeat/reader/readfile/
+        # encode.go, used at harvester.go:678). One decode call per file,
+        # not per line; line order within a file is inherently serial state
+        # (one harvester per file), so no window is needed — ordinals fall
+        # out of the split.
+        df = _read_decoded_lines(spark, paths, glob, encoding)
+    else:
+        reader = spark.read
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        df = reader.text(paths)  # column: value
 
-    df = df.select(
-        F.col("value").alias("message"),
-        F.input_file_name().alias("__path"),
-    )
-    # stable per-file line ordinal ≡ harvester offset ordering. A window per
-    # file is acceptable: line order within one file is inherently serial
-    # state, exactly like the reference's single harvester goroutine per file.
-    w = Window.partitionBy("__path").orderBy(F.monotonically_increasing_id())
-    df = df.withColumn("__offset", F.row_number().over(w).cast("long") - 1)
+        df = df.select(
+            F.col("value").alias("message"),
+            F.input_file_name().alias("__path"),
+        )
+        # stable per-file line ordinal ≡ harvester offset ordering. A window
+        # per file is acceptable: line order within one file is inherently
+        # serial state, exactly like the reference's single harvester
+        # goroutine per file.
+        w = Window.partitionBy("__path").orderBy(F.monotonically_increasing_id())
+        df = df.withColumn("__offset", F.row_number().over(w).cast("long") - 1)
 
     if max_bytes:
         df = df.withColumn("message", F.substring("message", 1, int(max_bytes)))

@@ -143,3 +143,35 @@ def test_timeseries_instance_deterministic(spark):
     out = st.apply(df).toPandas()
     inst = out["timeseries"].map(lambda s: s["instance"])
     assert inst[0] == inst[1] and inst[0] != inst[2]
+
+
+def test_logfile_latin1_encoding(spark, tmp_path):
+    """Non-UTF-8 charset decode (readfile/encode.go analogue): binaryFile +
+    per-file Arrow-batched decode; envelope identical to the UTF-8 path."""
+    p = tmp_path / "legacy.log"
+    p.write_bytes("caf\xe9 au lait\nna\xefve r\xe9sum\xe9\n".encode("latin-1"))
+    df = read_log_files(spark, str(tmp_path), glob="*.log", encoding="latin-1")
+    pdf = df.toPandas()
+    assert set(pdf.columns) == {"message", "log"}
+    rows = sorted((l["offset"], m) for l, m in zip(pdf["log"], pdf["message"]))
+    assert [m for _, m in rows] == ["caf\xe9 au lait", "na\xefve r\xe9sum\xe9"]
+    assert pdf["log"].map(lambda l: l["file"]["path"].endswith("legacy.log")).all()
+
+
+def test_logfile_latin1_with_filters_and_multiline(spark, tmp_path):
+    p = tmp_path / "legacy.log"
+    p.write_bytes(
+        "ERROR d\xe9but\n  suite 1\n  suite 2\nINFO fin\n".encode("latin-1"))
+    df = read_log_files(
+        spark, str(tmp_path), glob="*.log", encoding="latin-1",
+        multiline={"pattern": r"^\s", "match": "after"},
+    )
+    msgs = sorted(df.toPandas()["message"])
+    assert msgs == ["ERROR d\xe9but\n  suite 1\n  suite 2", "INFO fin"]
+
+
+def test_logfile_unknown_encoding_raises(spark, tmp_path):
+    (tmp_path / "x.log").write_text("hi\n")
+    import pytest as _pytest
+    with _pytest.raises(LookupError):
+        read_log_files(spark, str(tmp_path), encoding="no-such-charset")

@@ -30,16 +30,18 @@ from beats_spark.event import get_path, has_path, path_type
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType, T.DecimalType)
 
-# named network ranges (libbeat/conditions/network.go:26-43); IPv4 subset
+# named network ranges (libbeat/conditions/network.go:26-57: RFC 1918 +
+# RFC 4193 private, Go net.IP named classes for both families)
 NAMED_NETWORKS: dict[str, list[str]] = {
-    "loopback": ["127.0.0.0/8"],
-    "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"],
-    "multicast": ["224.0.0.0/4"],
-    "link_local_unicast": ["169.254.0.0/16"],
-    "unspecified": ["0.0.0.0/32"],
+    "loopback": ["127.0.0.0/8", "::1/128"],
+    "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "fd00::/8"],
+    "multicast": ["224.0.0.0/4", "ff00::/8"],
+    "link_local_unicast": ["169.254.0.0/16", "fe80::/10"],
+    "unspecified": ["0.0.0.0/32", "::/128"],
 }
 
 _IPV4_RE = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
+_IPV4_TAIL_RE = r":(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})$"
 
 
 def _ip4_to_long(col: Column) -> Column:
@@ -52,9 +54,7 @@ def _ip4_to_long(col: Column) -> Column:
     )
 
 
-def _cidr_match(col: Column, cidr: str) -> Column:
-    if "/" not in cidr:
-        cidr = cidr + "/32"
+def _cidr4_match(col: Column, cidr: str) -> Column:
     net, bits_s = cidr.split("/")
     bits = int(bits_s)
     parts = [int(x) for x in net.split(".")]
@@ -63,6 +63,75 @@ def _cidr_match(col: Column, cidr: str) -> Column:
     return col.rlike(_IPV4_RE) & (
         _ip4_to_long(col).bitwiseAND(F.lit(mask)) == F.lit(net_long & mask)
     )
+
+
+def _ip6_words(col: Column) -> Column:
+    """Parse an IPv6 literal into an array<long> of eight 16-bit words, or
+    NULL when the string is not valid IPv6. Pure Catalyst expressions
+    (split / filter / conv) — conditions stay pushdown-friendly JVM code,
+    no UDF. Handles ``::`` zero-compression and the embedded-IPv4 tail
+    (``::ffff:1.2.3.4``), like Go's net.ParseIP (network.go matching)."""
+    s = F.lower(F.trim(col))
+    # embedded dotted-quad tail -> two hex words
+    v4 = F.regexp_extract(s, _IPV4_TAIL_RE, 1)
+    v4l = _ip4_to_long(v4)
+    s = F.when(v4 == "", s).otherwise(
+        F.concat(
+            F.regexp_replace(s, _IPV4_TAIL_RE, ":"),
+            F.lower(F.conv(F.shiftright(v4l, 16).cast("string"), 10, 16)),
+            F.lit(":"),
+            F.lower(F.conv(v4l.bitwiseAND(F.lit(0xFFFF)).cast("string"), 10, 16)),
+        )
+    )
+    shape_ok = s.rlike(r"^[0-9a-f:]+$") & ~s.contains(":::") & (
+        F.size(F.split(s, "::")) <= 2
+    )
+    parts = F.split(s, "::")
+    has_dc = F.size(parts) == 2
+    grp = lambda seg: F.filter(  # noqa: E731
+        F.split(seg, ":"), lambda x: x != ""
+    )
+    left = grp(F.element_at(parts, 1))
+    right = F.when(has_dc, grp(F.element_at(parts, 2))).otherwise(
+        F.array().cast("array<string>")
+    )
+    n = F.size(left) + F.size(right)
+    full = F.when(
+        has_dc & (n <= 7),
+        F.concat(left, F.array_repeat(F.lit("0"), 8 - n), right),
+    ).otherwise(F.when(~has_dc & (n == 8), left))
+    groups_ok = F.forall(full, lambda g: g.rlike("^[0-9a-f]{1,4}$"))
+    words = F.transform(full, lambda g: F.conv(g, 16, 10).cast("long"))
+    return F.when(shape_ok & full.isNotNull() & groups_ok, words)
+
+
+def _cidr6_match(col: Column, cidr: str) -> Column:
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr, strict=False)
+    packed = net.network_address.packed
+    net_words = [int.from_bytes(packed[i:i + 2], "big") for i in range(0, 16, 2)]
+    bits = net.prefixlen
+    words = _ip6_words(col)
+    cond = words.isNotNull()
+    full_words, rem = divmod(bits, 16)
+    for i in range(full_words):
+        cond = cond & (F.element_at(words, i + 1) == F.lit(net_words[i]))
+    if rem:
+        shift = 16 - rem
+        cond = cond & (
+            F.shiftright(F.element_at(words, full_words + 1), shift)
+            == F.lit(net_words[full_words] >> shift)
+        )
+    return F.coalesce(cond, F.lit(False))
+
+
+def _cidr_match(col: Column, cidr: str) -> Column:
+    if "/" not in cidr:
+        cidr = cidr + ("/128" if ":" in cidr else "/32")
+    if ":" in cidr:
+        return _cidr6_match(col, cidr)
+    return _cidr4_match(col, cidr)
 
 
 def _false_if_null(c: Column) -> Column:

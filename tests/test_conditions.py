@@ -95,3 +95,36 @@ def test_condition_pushdown_reaches_scan(spark, tmp_path):
     cond = compile_condition(df, {"range": {"id": {"gt": 50}}})
     plan = df.filter(cond)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan" in plan
+
+
+def test_network_ipv6(spark):
+    """IPv6 CIDRs (network.go handles both families via net.ParseIP):
+    zero-compression, embedded IPv4 tails, named networks, invalid input."""
+    from beats_spark.conditions import compile_condition
+
+    rows = [
+        ("::1",), ("fe80::1234",), ("fd12:3456::1",), ("2001:db8::8a2e:370:7334",),
+        ("::ffff:192.168.1.10",), ("ff02::fb",), ("not-an-ip",), (None,),
+        ("1:2:3:4:5:6:7:8",), ("2001:db8:0:0:0:0:2:1",),
+    ]
+    df = spark.createDataFrame(rows, "ip string")
+
+    def ips(cfg):
+        return sorted(
+            r["ip"] for r in df.filter(compile_condition(df, cfg)).collect())
+
+    assert ips({"network": {"ip": "2001:db8::/32"}}) == [
+        "2001:db8:0:0:0:0:2:1",
+        "2001:db8::8a2e:370:7334",
+    ]
+    assert ips({"network": {"ip": "loopback"}}) == ["::1"]
+    assert ips({"network": {"ip": "private"}}) == ["fd12:3456::1"]
+    assert ips({"network": {"ip": "link_local_unicast"}}) == ["fe80::1234"]
+    assert ips({"network": {"ip": "multicast"}}) == ["ff02::fb"]
+    # embedded IPv4 tail is matchable as IPv6
+    assert ips({"network": {"ip": "::ffff:192.168.0.0/112"}}) == [
+        "::ffff:192.168.1.10"]
+    # exact /128
+    assert ips({"network": {"ip": "1:2:3:4:5:6:7:8"}}) == ["1:2:3:4:5:6:7:8"]
+    # ipv4 rules never match ipv6 values and vice versa
+    assert ips({"network": {"ip": "192.168.0.0/16"}}) == []

@@ -120,6 +120,75 @@ CORPUS = [
         "x y z w",
         {"a": "x", "rest": "y z w"},
     ),
+    # -- corner cases paraphrased from the reference corpus semantics
+    #    (dissect.go extract(): a next-delimiter hit AT the cursor yields an
+    #    empty value; a consumed string leaves the last field empty) --------
+    (
+        "consecutive delimiters empty middle value",
+        "%{a},%{b},%{c}",
+        "1,,3",
+        {"a": "1", "b": "", "c": "3"},
+    ),
+    (
+        "empty first and last values",
+        "%{a}:%{b}:%{c}",
+        ":x:",
+        {"a": "", "b": "x", "c": ""},
+    ),
+    (
+        "last field empty when string consumed",
+        "%{a} %{b}",
+        "x ",
+        {"a": "x", "b": ""},
+    ),
+    (
+        "repeated delimiter keeps inner spaces without greedy",
+        "%{a} %{b}",
+        "x  y",
+        {"a": "x", "b": " y"},
+    ),
+    (
+        "unicode content and delimiter",
+        "%{a}→%{b}",
+        "café→naïve wörld",
+        {"a": "café", "b": "naïve wörld"},
+    ),
+    (
+        "unicode greedy padding",
+        "%{a->} %{b}",
+        "héllo   wörld",
+        {"a": "héllo", "b": "wörld"},
+    ),
+    (
+        "delimiter containing curly braces",
+        "%{a}{%{b}}",
+        "x{y}",
+        {"a": "x", "b": "y"},
+    ),
+    (
+        "fixed length exactly consumes string",
+        "%{a#3}",
+        "abc",
+        {"a": "abc"},
+    ),
+    (
+        "fixed length then trailing garbage fails",
+        "%{a#3}",
+        "abcd",
+        None,
+    ),
+    (
+        "append across empty middle joins with delimiter",
+        "%{+x},%{+x},%{+x}",
+        "a,,c",
+        {"x": "a,,c"},
+    ),
+    (
+        "multiline with windows newlines",
+        "%{head}\r\n%{rest}",
+        "first\r\nsecond\r\nthird",
+        {"head": "first", "rest": "second\r\nthird"},
+    ),
 ]
 
 TYPED_CORPUS = [

@@ -9,9 +9,12 @@ chain re-expressed as Spark reads.
 - ``table``: the primary transcript-table source (Iceberg in production,
   the parquet snapshot catalog here) with registrar-style incremental
   resume (filebeat/registrar) via the lineage table.
+- ``container``: Docker json-file / CRI log formats with partial-line
+  joining and stream filtering (libbeat/reader/readjson/docker_json.go).
 - ``kafka``: config → spark Kafka reader options (untestable in this
   sandbox — construction covered by unit tests, IO gated).
 """
 
+from beats_spark.sources.container import read_container_logs  # noqa: F401
 from beats_spark.sources.logfile import read_log_files  # noqa: F401
 from beats_spark.sources.kafka import kafka_reader_options  # noqa: F401

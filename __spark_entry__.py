@@ -331,6 +331,43 @@ def q_multiline_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("conv_id", "turn_idx", "role", "text")
 
 
+def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """syslog RFC3164 header parse (filebeat/input/syslog/
+    rfc3164_parser.go; priority split per event.go:26-27). The query
+    BUILDS syslog lines deterministically from the transcript columns,
+    parses them back with the processor, and returns the parsed fields —
+    so the oracle can assert against the known ground truth."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    t = _transcripts(spark, sf_dir)
+    sev = (
+        F.when(F.col("role") == "user", 6)
+        .when(F.col("role") == "assistant", 5)
+        .when(F.col("role") == "system", 4)
+        .otherwise(7)
+    )
+    pri = (F.lit(16) + F.pmod(F.col("turn_idx"), F.lit(4))) * 8 + sev
+    line = F.concat(
+        F.lit("<"), pri.cast("string"), F.lit(">"),
+        F.lit("Jan  2 03:04:05 "),
+        F.lit("host-"), F.col("conv_id"), F.lit(" "),
+        F.col("tool"), F.lit("["), F.col("turn_idx").cast("string"),
+        F.lit("]: "), F.col("text"),
+    )
+    df = t.withColumn("message", line)
+    stages = build_chain([{"syslog": {"format": "rfc3164"}}])
+    out = apply_chain(df, stages)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("syslog.facility").alias("facility"),
+        F.col("syslog.severity").alias("severity"),
+        F.col("syslog.hostname").alias("hostname"),
+        F.col("syslog.program").alias("program"),
+        F.col("syslog.pid").alias("pid"),
+        F.col("syslog.msg").alias("msg"),
+    )
+
+
 def q_multiline_while(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multiline while_pattern mode (libbeat/reader/multiline/while.go):
     consecutive info lines combine into one event; every other line is a
@@ -607,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_pattern": q_multiline_pattern,
         "multiline_while": q_multiline_while,
         "multiline_flush": q_multiline_flush,
+        "syslog_parse": q_syslog_parse,
         "rate_limit": q_rate_limit,
         "enrich_lookup": q_enrich_lookup,
         "script_mapinpandas": q_script_mapinpandas,
@@ -794,6 +832,21 @@ def oracle_sql() -> dict[str, str]:
                       arg_min(role, turn_idx) AS role,
                       string_agg(text, chr(10) ORDER BY turn_idx) AS text
                FROM grp GROUP BY conv_id, gid"""
+        ),
+        # ground truth for the built-then-parsed syslog lines: the oracle
+        # recomputes the fields the parser must recover
+        "syslog_parse": _with_t(
+            """SELECT conv_id, turn_idx,
+               (16 + (turn_idx % 4)) AS facility,
+               CASE WHEN role = 'user' THEN 6
+                    WHEN role = 'assistant' THEN 5
+                    WHEN role = 'system' THEN 4
+                    ELSE 7 END AS severity,
+               'host-' || conv_id AS hostname,
+               tool AS program,
+               turn_idx AS pid,
+               text AS msg
+               FROM transcripts"""
         ),
         "multiline_while": _with_t(
             """, flagged AS (

@@ -171,11 +171,19 @@ def rate_limit(cfg: dict[str, Any]) -> Stage:
     key, window(ts, unit)) <= N``. At 100 TB this is one shuffle on
     (key, window); AQE handles skewed keys.
     """
+    unknown = set(cfg) - {"limit", "fields", "ts_field"}
+    if unknown:
+        raise ValueError(
+            f"rate_limit: unknown config keys {sorted(unknown)} "
+            "(known: ['fields', 'limit', 'ts_field'])"
+        )
     limit = cfg.get("limit", "10000/m")
     fields = cfg.get("fields", [])
     ts_field = cfg.get("ts_field", "ts")
     n_s, unit = str(limit).split("/")
     n = int(n_s)
+    if unit not in ("s", "m", "h"):
+        raise ValueError(f"rate_limit: unknown unit {unit!r} in {limit!r}")
     window_dur = {"s": "1 second", "m": "1 minute", "h": "1 hour"}[unit]
 
     class RateLimit(Stage):

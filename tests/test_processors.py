@@ -432,3 +432,54 @@ def test_multiline_unknown_key_raises(spark):
         build_chain([{"multiline": {"pattern": "x", "wile_pattern": "typo"}}])
     with _pytest.raises(ValueError, match="requires 'pattern'"):
         build_chain([{"multiline": {"type": "while_pattern"}}])
+
+
+def test_rate_limit_unknown_key_raises(spark):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown config key"):
+        build_chain([{"rate_limit": {"limit": "5/m", "field": "typo"}}])
+    with _pytest.raises(ValueError, match="unknown unit"):
+        build_chain([{"rate_limit": {"limit": "5/day"}}])
+
+
+def test_syslog_rfc3164(spark):
+    rows = [
+        ("<34>Oct 11 22:14:15 mymachine su[1234]: 'su root' failed",),
+        ("<13>Feb  5 17:32:18 10.0.0.99 myapp: Use the BFG!",),
+        ("not syslog at all",),
+    ]
+    out = run(spark, rows, "message string",
+              [{"syslog": {"format": "rfc3164"}}]).collect()
+    r0 = out[0]["syslog"]
+    assert (r0["facility"], r0["severity"]) == (4, 2)  # 34 = 4<<3 | 2
+    assert r0["hostname"] == "mymachine" and r0["program"] == "su"
+    assert r0["pid"] == 1234 and r0["msg"] == "'su root' failed"
+    r1 = out[1]["syslog"]
+    assert r1["program"] == "myapp" and r1["pid"] is None
+    assert r1["msg"] == "Use the BFG!"
+    assert out[2]["syslog"] is None
+    assert "syslog_parsing_error" in (out[2]["log"]["flags"] or [])
+
+
+def test_syslog_rfc5424_and_auto(spark):
+    rows = [
+        ('<165>1 2003-10-11T22:14:15.003Z mach.example evntslog 1024 ID47 '
+         '[exampleSDID@32473 iut="3"] An application event',),
+        ("<165>1 2003-08-24T05:14:15Z 192.0.2.1 myproc 8710 - - %% It's time!",),
+        ("<34>Oct 11 22:14:15 mymachine su[1]: legacy line",),
+    ]
+    out = run(spark, rows, "message string", [{"syslog": {}}]).collect()
+    r0 = out[0]["syslog"]
+    assert (r0["facility"], r0["severity"], r0["version"]) == (20, 5, 1)
+    assert r0["hostname"] == "mach.example" and r0["program"] == "evntslog"
+    assert r0["pid"] == 1024 and r0["msg"] == "An application event"
+    r1 = out[1]["syslog"]
+    assert r1["msg"] == "%% It's time!" and r1["pid"] == 8710
+    r2 = out[2]["syslog"]
+    assert r2["version"] is None and r2["program"] == "su"  # auto -> 3164
+
+
+def test_syslog_unknown_key_raises(spark):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown config key"):
+        build_chain([{"syslog": {"pattern": "x"}}])

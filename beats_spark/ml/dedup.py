@@ -369,10 +369,54 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
     (docs within hamming<=k usually share a 16-bit prefix when k is small;
     production would use the standard 4-table permutation trick — same
-    join shape, 4× the buckets), verify with exact Hamming distance."""
-    base = df.select(
+    join shape, 4× the buckets), verify with exact Hamming distance.
+
+    The signature is computed relationally — explode tokens, 64 codegen'd
+    conditional-sum aggregates (one per bit), pack the sign bits — instead
+    of the interpreted zip_with accumulator of ``simhash()`` (same values;
+    the Column form remains for single-expression use). Token-less docs
+    rejoin with signature 0, matching the accumulator's empty fold.
+    """
+    bits = 64
+    tok = df.select(
         F.col(id_col).alias("__id"),
-        simhash(F.col(content_col), hash=hash).alias("__sim"),
+        F.explode(words(F.col(content_col))).alias("__t"),
+    )
+    if hash == "xx":
+        h = F.xxhash64(F.col("__t"))
+
+        def vote(i: int) -> Column:
+            return F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+    else:
+        h = poly_string_hash(F.col("__t"))
+
+        def vote(i: int) -> Column:
+            a = ((i * 2 + 1) * 1103515245) % POLY_P
+            b = (i * 12345 + 7) % POLY_P
+            return F.when(
+                F.pmod(F.lit(a) * h + F.lit(b), F.lit(POLY_P)) * 2
+                >= F.lit(POLY_P),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+
+    counts = tok.groupBy("__id").agg(
+        *[F.sum(vote(i)).alias(f"__c{i}") for i in range(bits)]
+    )
+    packed = None
+    for i in range(bits):
+        term = F.when(
+            F.col(f"__c{i}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    sims = counts.select("__id", packed.alias("__sim"))
+    base = (
+        df.select(F.col(id_col).alias("__id"))
+        .join(sims, "__id", "left")
+        .select("__id", F.coalesce("__sim", F.lit(0).cast("long")).alias("__sim"))
     )
     bucket = F.shiftrightunsigned(F.col("__sim"), 64 - prefix_bits)
     base = base.withColumn("__bkt", bucket)

@@ -40,6 +40,11 @@ def run_stream(pipe, source: DataFrame, checkpoint: str,
             )
             if seen:
                 return
+        # a PARTIALLY committed earlier attempt (crashed between sink
+        # adoption and the lineage commit) would double-append on replay;
+        # rollback_run removes its snapshots + staging debris and is a
+        # no-op for an unknown run_id — so the replay is exactly-once
+        cat.rollback_run(run_id)
         pipe.run(batch_df, run_id=run_id,
                  source_snapshots=[run_id], source_table="_stream")
 

@@ -87,3 +87,45 @@ def test_streaming_windowed_counts_and_dedup(spark, tmp_path):
     assert wc.groupby("_sink")["events_routed"].sum().sum() == routed.count()
     dd = dedup_stream(routed.unionByName(routed))
     assert dd.count() == routed.count()
+
+
+def test_streaming_replay_after_partial_commit_is_exactly_once(spark, tmp_path):
+    """A micro-batch that crashed between sink adoption and the lineage
+    commit must not double-append when foreachBatch replays it: the handler
+    rolls the partial run back first."""
+    from beats_spark.pipeline import LINEAGE_TABLE
+
+    tdf = synthesize_transcripts(spark, 500, 10)
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    pipe = Pipeline(spark, fixture_config(), cat)
+
+    # simulate the crashed first attempt of batch 0: sinks committed,
+    # lineage commit lost
+    real_append = cat.append
+
+    def dying_append(df, table, run_id=None):
+        if table == LINEAGE_TABLE:
+            raise RuntimeError("crash before lineage commit")
+        return real_append(df, table, run_id=run_id)
+
+    cat.append = dying_append
+    with pytest.raises(RuntimeError):
+        pipe.run(tdf, run_id="stream-00000000",
+                 source_snapshots=["stream-00000000"], source_table="_stream")
+    cat.append = real_append
+    orphans = sum(cat.read(s).count() for s in cat.tables()
+                  if s.startswith("sink_"))
+    assert orphans > 0  # partial data exists
+
+    # replay: a fresh checkpointed stream over the same rows reuses batch
+    # id 0 -> run_id stream-00000000; the handler must roll back the
+    # partial attempt, leaving exactly one copy
+    src_dir = tmp_path / "src"
+    tdf.write.parquet(str(src_dir))
+    sdf = spark.readStream.schema(tdf.schema).parquet(str(src_dir))
+    q = run_stream(pipe, sdf, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    want = pipe.transform(tdf).groupBy("_sink").count().collect()
+    for r in want:
+        assert cat.read(r["_sink"]).count() == r["count"], r["_sink"]

@@ -131,3 +131,42 @@ def test_topk_is_take_ordered(spark):
     q = [0.1] * 64
     plan = plan_of(cosine_topk(emb, q, k=5))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_syslog_is_pure_jvm(spark):
+    from beats_spark.processors import apply_chain, build_chain
+
+    df = spark.createDataFrame(
+        [("<34>Oct 11 22:14:15 h su[1]: m",)], "message string")
+    out = apply_chain(df, build_chain([{"syslog": {}}]))
+    plan = plan_of(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_container_reader_is_pure_jvm(spark, tmp_path):
+    from beats_spark.sources import read_container_logs
+
+    (tmp_path / "c.log").write_text(
+        '{"log":"x\\n","stream":"stdout","time":"2024-01-01T00:00:01Z"}\n')
+    plan = plan_of(read_container_logs(spark, str(tmp_path), glob="*.log"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_minhash_signature_is_codegen_agg_with_persisted_bands(spark):
+    """The signature pass must be a codegen'd hash aggregate over exploded
+    hashes (not an interpreted HOF projection), and the banded frame must
+    be persisted so the candidate self-join does not recompute it per
+    side."""
+    from beats_spark.ml.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g h") for i in range(30)],
+        "doc_id int, text string")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.9)
+    plan = plan_of(pairs)
+    assert "InMemoryTableScan" in plan      # persisted banded frame
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the 64 min-aggregates appear as a HashAggregate, not a HOF transform
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    pairs.count()
+    spark.catalog.clearCache()

@@ -16,6 +16,10 @@ def run(spark, rows, schema, cfg):
     return apply_chain(df, build_chain(cfg))
 
 
+def run_df(spark, df, cfg):
+    return apply_chain(df, build_chain(cfg))
+
+
 def test_add_fields_under_target(spark):
     out = run(
         spark, [(1,)], "id int",
@@ -483,3 +487,81 @@ def test_syslog_unknown_key_raises(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown config key"):
         build_chain([{"syslog": {"pattern": "x"}}])
+
+
+def test_community_id_spec_vectors(spark):
+    """Community ID v1 spec vectors from the reference's own tests
+    (communityid_test.go:38-60): TCP 128.232.110.120:34855 ->
+    66.35.250.204:80, seed 0 and seed 123; plus direction invariance."""
+    rows = [("128.232.110.120", 34855, "66.35.250.204", 80, "tcp"),
+            ("66.35.250.204", 80, "128.232.110.120", 34855, "tcp")]
+    schema = ("source struct<ip:string, port:int>, "
+              "destination struct<ip:string, port:int>, "
+              "network struct<transport:string>")
+    df = spark.createDataFrame(
+        [((s, sp), (d, dp), (tr,)) for s, sp, d, dp, tr in rows], schema)
+    out = run_df(spark, df, [{"community_id": {}}]).collect()
+    assert out[0]["network"]["community_id"] == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+    # reversed direction hashes identically (endpoint sorting)
+    assert out[1]["network"]["community_id"] == out[0]["network"]["community_id"]
+    out123 = run_df(spark, df, [{"community_id": {"seed": 123}}]).collect()
+    assert out123[0]["network"]["community_id"] == "1:hTSGlFQnR58UCk+NfKRZzA32dPg="
+
+
+def test_community_id_icmp_and_python_oracle(spark):
+    """ICMP echo request/reply map to port equivalents; cross-check every
+    produced id against an independent pure-Python implementation of the
+    published spec."""
+    import base64 as b64
+    import hashlib
+    import socket
+    import struct
+
+    rows = [
+        ("1.2.3.4", None, "5.6.7.8", None, "icmp", 8, 0),     # echo request
+        ("5.6.7.8", None, "1.2.3.4", None, "icmp", 0, 8),     # echo reply
+        ("10.0.0.1", 5555, "10.0.0.2", 53, "udp", None, None),
+        ("fe80::260:97ff:fe07:69ea", 3055, "ff02::fb", 5353, "udp", None, None),
+    ]
+    schema = ("source struct<ip:string, port:int>, "
+              "destination struct<ip:string, port:int>, "
+              "network struct<transport:string>, "
+              "icmp struct<type:int, code:int>")
+    df = spark.createDataFrame(
+        [((s, sp), (d, dp), (tr,), (t, c)) for s, sp, d, dp, tr, t, c in rows],
+        schema)
+    out = run_df(spark, df, [{"community_id": {}}]).collect()
+
+    def py_cid(saddr, sport, daddr, dport, proto, icmp_t=None, icmp_c=None):
+        pnum = {"tcp": 6, "udp": 17, "icmp": 1}[proto]
+        equiv = {8: 0, 0: 8, 13: 14, 14: 13, 15: 16, 10: 9, 9: 10,
+                 17: 18, 18: 17}
+        one_way = False
+        if pnum == 1:
+            sport = icmp_t
+            if icmp_t in equiv:
+                dport = equiv[icmp_t]
+            else:
+                dport, one_way = icmp_c, True
+        fam = socket.AF_INET6 if ":" in saddr else socket.AF_INET
+        sb, db = socket.inet_pton(fam, saddr), socket.inet_pton(fam, daddr)
+        if not one_way and not (sb < db or (sb == db and sport < dport)):
+            sb, db, sport, dport = db, sb, dport, sport
+        data = struct.pack("!H", 0) + sb + db + struct.pack("BB", pnum, 0)
+        data += struct.pack("!HH", sport, dport)
+        return "1:" + b64.b64encode(hashlib.sha1(data).digest()).decode()
+
+    for row, (s, sp, d, dp, tr, t, c) in zip(out, rows):
+        assert row["network"]["community_id"] == py_cid(s, sp, d, dp, tr, t, c), (s, d, tr)
+    # icmp request/reply direction-invariant
+    assert out[0]["network"]["community_id"] == out[1]["network"]["community_id"]
+
+
+def test_community_id_missing_fields_null(spark):
+    df = spark.createDataFrame(
+        [(("1.2.3.4", None), ("5.6.7.8", 80), ("tcp",))],
+        "source struct<ip:string, port:int>, "
+        "destination struct<ip:string, port:int>, "
+        "network struct<transport:string>")
+    out = run_df(spark, df, [{"community_id": {}}]).collect()
+    assert out[0]["network"]["community_id"] is None

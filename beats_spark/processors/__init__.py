@@ -14,6 +14,7 @@ from beats_spark.processors.base import (  # noqa: F401
 from beats_spark.processors import actions  # noqa: F401,E402
 from beats_spark.processors import convert  # noqa: F401,E402
 from beats_spark.processors import dissect  # noqa: F401,E402
+from beats_spark.processors import domain  # noqa: F401,E402
 from beats_spark.processors import enrich  # noqa: F401,E402
 from beats_spark.processors import fingerprint  # noqa: F401,E402
 from beats_spark.processors import flowhash  # noqa: F401,E402

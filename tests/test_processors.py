@@ -565,3 +565,40 @@ def test_community_id_missing_fields_null(spark):
         "network struct<transport:string>")
     out = run_df(spark, df, [{"community_id": {}}]).collect()
     assert out[0]["network"]["community_id"] is None
+
+
+def test_registered_domain(spark):
+    """eTLD+1 via broadcast suffix join (publicsuffix.EffectiveTLDPlusOne
+    semantics): longest rule, multi-label suffixes, domains that ARE a
+    public suffix yield NULL."""
+    rows = [("www.google.com",), ("a.b.example.co.uk",), ("github.io",),
+            ("user.github.io",), ("just-a-host",), (None,)]
+    out = run(spark, rows, "domain string",
+              [{"registered_domain": {}}]).collect()
+    got = [r["registered_domain"] for r in out]
+    assert got == ["google.com", "example.co.uk", None,
+                   "user.github.io", None, None]
+
+
+def test_registered_domain_wildcard_exception(spark):
+    """PSL wildcard (*.kawasaki.jp) and exception (!city.kawasaki.jp)
+    rules: exceptions override wildcards."""
+    from beats_spark.processors.domain import register_suffix_list
+
+    register_suffix_list("jp-test", ["jp", "*.kawasaki.jp",
+                                     "!city.kawasaki.jp"])
+    rows = [("a.b.kawasaki.jp",),        # wildcard: suffix=b.kawasaki.jp
+            ("city.kawasaki.jp",),       # exception: suffix=kawasaki.jp
+            ("x.city.kawasaki.jp",)]
+    out = run(spark, rows, "domain string",
+              [{"registered_domain": {"suffix_list": "jp-test"}}]).collect()
+    got = [r["registered_domain"] for r in out]
+    assert got == ["a.b.kawasaki.jp", "city.kawasaki.jp",
+                   "city.kawasaki.jp"]
+
+
+def test_registered_domain_unknown_list_raises(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame([("x.com",)], "domain string")
+    with _pytest.raises(ValueError, match="unknown suffix list"):
+        run_df(spark, df, [{"registered_domain": {"suffix_list": "nope"}}]).collect()

@@ -45,10 +45,14 @@ def qualified(catalog: str, namespace: str, table: str) -> str:
 
 def snapshots_sql(catalog: str, namespace: str, table: str) -> str:
     """Query against the Iceberg ``<table>.snapshots`` metadata table; the
-    run id comes back from the snapshot summary map."""
+    run id comes back from the snapshot summary map (writes stamp it via
+    the ``snapshot-property.run_id`` write option; adopted snapshots are
+    stamped through a table property instead — see adopt_directory)."""
     t = qualified(catalog, namespace, table)
     return (
         "SELECT CAST(snapshot_id AS STRING) AS snapshot_id, "
+        # timestamp → double casts to epoch SECONDS (the shared
+        # IcebergSnapshot/ParquetCatalog.Snapshot contract)
         "CAST(committed_at AS DOUBLE) AS committed_at, "
         "CAST(parent_id AS STRING) AS parent_id, "
         "operation, summary['run_id'] AS run_id "
@@ -153,17 +157,32 @@ class IcebergCatalog:
 
     # -- snapshot log --------------------------------------------------------
 
+    def _adopted_run_ids(self, table: str) -> dict[str, str]:
+        """snapshot_id → run_id for snapshots stamped via the
+        ``run-id.<snapshot_id>`` table properties (adopt_directory's
+        mechanism, since CALL add_files cannot set snapshot summary
+        properties)."""
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self._t(table)}"
+        ).collect()
+        out = {}
+        for r in rows:
+            if r["key"].startswith("run-id."):
+                out[r["key"][len("run-id."):]] = r["value"]
+        return out
+
     def snapshots(self, table: str) -> list[IcebergSnapshot]:
         if not self.exists(table):
             return []
         rows = self.spark.sql(
             snapshots_sql(self.catalog, self.namespace, table)
         ).collect()
+        adopted = self._adopted_run_ids(table)
         return [
             IcebergSnapshot(
                 snapshot_id=r["snapshot_id"],
-                committed_at=float(r["committed_at"]) / 1000.0,
-                run_id=r["run_id"],
+                committed_at=float(r["committed_at"]),
+                run_id=r["run_id"] or adopted.get(r["snapshot_id"]),
                 parent_id=r["parent_id"],
                 operation=r["operation"],
             )
@@ -192,18 +211,24 @@ class IcebergCatalog:
 
     def adopt_directory(self, src_dir: str, table: str,
                         run_id: str | None = None) -> IcebergSnapshot:
-        """Metadata-only adoption of a staged parquet dir (add_files);
-        run_id is stamped with a follow-up snapshot-property commit."""
+        """Metadata-only adoption of a staged parquet dir (add_files).
+
+        ``CALL add_files`` cannot set snapshot SUMMARY properties, so the
+        run id is recorded as a ``run-id.<snapshot_id>`` TABLE property
+        keyed by the snapshot the call just created; snapshots() merges it
+        back so rollback_run/incomplete_runs see adopted snapshots exactly
+        like written ones."""
         self.spark.sql(
             add_files_sql(self.catalog, self.namespace, table, src_dir)
         )
+        snap = self.latest_snapshot(table)
+        assert snap is not None
         if run_id:
             self.spark.sql(
                 f"ALTER TABLE {self._t(table)} SET TBLPROPERTIES "
-                f"('last-run-id' = '{run_id}')"
+                f"('run-id.{snap.snapshot_id}' = '{run_id}')"
             )
-        snap = self.latest_snapshot(table)
-        assert snap is not None
+            snap.run_id = run_id
         return snap
 
     # -- read ----------------------------------------------------------------
@@ -216,16 +241,21 @@ class IcebergCatalog:
         if snapshot_ids is None:
             return self.spark.read.format("iceberg").load(self._t(table))
         # append-only history: a contiguous snapshot range reads as one
-        # incremental scan (start exclusive, end inclusive)
+        # incremental scan (start exclusive, end inclusive). Iceberg
+        # REJECTS end-snapshot-id without start-snapshot-id, so a range
+        # starting at the table's first snapshot reads as-of the end
+        # snapshot instead (equivalent for append-only history).
         snaps = self.snapshots(table)
         wanted = [s for s in snaps if s.snapshot_id in set(snapshot_ids)]
         if not wanted:
             raise ValueError(f"table {table!r}: no matching snapshots")
         start = wanted[0].parent_id
-        reader = (self.spark.read.format("iceberg")
-                  .option("end-snapshot-id", wanted[-1].snapshot_id))
+        reader = self.spark.read.format("iceberg")
         if start is not None:
-            reader = reader.option("start-snapshot-id", start)
+            reader = (reader.option("start-snapshot-id", start)
+                      .option("end-snapshot-id", wanted[-1].snapshot_id))
+        else:
+            reader = reader.option("snapshot-id", wanted[-1].snapshot_id)
         return reader.load(self._t(table))
 
     def read_since(self, table: str, after_snapshot_id: str | None
@@ -240,10 +270,14 @@ class IcebergCatalog:
             snaps = snaps[idx + 1:]
         if not snaps:
             return None, []
-        reader = (self.spark.read.format("iceberg")
-                  .option("end-snapshot-id", snaps[-1].snapshot_id))
+        reader = self.spark.read.format("iceberg")
         if after_snapshot_id is not None:
-            reader = reader.option("start-snapshot-id", after_snapshot_id)
+            reader = (reader.option("start-snapshot-id", after_snapshot_id)
+                      .option("end-snapshot-id", snaps[-1].snapshot_id))
+        else:
+            # first resume (no checkpoint): everything up to the last
+            # snapshot — as-of read, since end-snapshot-id alone is invalid
+            reader = reader.option("snapshot-id", snaps[-1].snapshot_id)
         return (reader.load(self._t(table)),
                 [s.snapshot_id for s in snaps])
 

@@ -229,7 +229,11 @@ def minhash_lsh_pairs(
     # the signature pass — the operator's dominant cost — once per side.
     # The banded frame is 3 longs/row (docs × bands), far smaller than the
     # corpus, and MEMORY_AND_DISK spills rather than OOMs at scale; this
-    # measured ~2× on the end-to-end operator.
+    # measured ~2× on the end-to-end operator. The candidate id-pairs are
+    # then EAGERLY materialized (localCheckpoint: small — ids only, blocks
+    # GC-cleaned by the ContextCleaner) so the cache can be dropped before
+    # returning — a DataFrame persist is never auto-released, and callers
+    # of the returned frame have no handle to unpersist it.
     from pyspark import StorageLevel
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
@@ -244,7 +248,9 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=True)
     )
+    banded.unpersist()
     sh_a = base.select(F.col("__id").alias("id_a"), F.col("__vs").alias("sh_a"))
     sh_b = base.select(F.col("__id").alias("id_b"), F.col("__vs").alias("sh_b"))
     pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")

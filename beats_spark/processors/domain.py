@@ -93,12 +93,16 @@ def registered_domain(cfg: dict[str, Any]) -> Stage:
             spark = df.sparkSession
             sfx = F.broadcast(_suffix_frame(spark, list_name))
 
-            rid = "__rd_id"
-            df = df.withColumn(rid, F.monotonically_increasing_id())
-            dom = F.lower(get_path(df, fld))
-            labels = F.split(dom, r"\.")
+            # keyed by the DOMAIN VALUE (deterministic under task retries
+            # and recomputation — a monotonically_increasing_id join key
+            # can diverge between the two evaluations of a self-join),
+            # deduplicated so each distinct domain is matched once
+            dom_expr = F.lower(get_path(df, fld))
+            doms = df.select(dom_expr.alias("__dom")).filter(
+                F.col("__dom").isNotNull()).distinct()
+            labels = F.split(F.col("__dom"), r"\.")
             n = F.size(labels)
-            # candidate suffixes with their label counts, longest first
+            # candidate suffixes with their label counts
             cands = F.transform(
                 F.sequence(F.lit(1), n),
                 lambda k: F.struct(
@@ -106,8 +110,7 @@ def registered_domain(cfg: dict[str, Any]) -> Stage:
                     k.alias("k"),
                 ),
             )
-            ex = df.select(rid, dom.alias("__dom"),
-                           F.explode(cands).alias("__cand"))
+            ex = doms.select("__dom", F.explode(cands).alias("__cand"))
             j = ex.join(
                 sfx,
                 # exact rule: candidate == suffix; wildcard *.X: the
@@ -119,24 +122,33 @@ def registered_domain(cfg: dict[str, Any]) -> Stage:
                    & (F.expr("substring_index(__cand.c, '.', -(__cand.k - 1))")
                       == F.col("__sfx"))
                    & (F.col("__cand.k") > 1)),
+                "left",
             )
             # effective public-suffix label count per rule match:
             # exact rule -> k; wildcard -> k (the extra label is part of the
-            # suffix); exception !W.X -> the suffix is X, i.e. k - 1
+            # suffix); exception !W.X -> the suffix is X, i.e. k - 1.
+            # No rule matched at all -> the PSL's implicit '*' default rule:
+            # the TLD itself is the public suffix (psk = 1).
             eff_k = F.when(F.col("__exc"), F.col("__cand.k") - 1).otherwise(
                 F.col("__cand.k"))
             best = (
-                j.groupBy(rid)
-                .agg(F.max(F.struct(
+                j.groupBy("__dom")
+                .agg(F.max(F.when(F.col("__sfx").isNotNull(), F.struct(
                     # PSL precedence: "the prevailing rule is the exception
                     # rule if any, else the longest match" — so exception
                     # flag orders BEFORE label count
                     F.col("__exc").cast("int").alias("exc"),
                     eff_k.alias("k"),
-                )).alias("__m"))
-                .select(rid, F.col("__m.k").alias("__psk"))
+                ))).alias("__m"))
+                .select(
+                    "__dom",
+                    F.coalesce(F.col("__m.k"), F.lit(1)).alias("__psk"),
+                )
             )
-            out = df.join(F.broadcast(best), rid, "left")
+            # NOT broadcast: distinct-domain cardinality scales with the
+            # data; AQE picks the strategy (and can still broadcast a
+            # small best side at runtime)
+            out = df.join(best, dom_expr == F.col("__dom"), "left")
             labels2 = F.split(F.lower(get_path(out, fld)), r"\.")
             n2 = F.size(labels2)
             reg = F.when(
@@ -145,6 +157,6 @@ def registered_domain(cfg: dict[str, Any]) -> Stage:
                     F.slice(labels2, n2 - F.col("__psk"), F.col("__psk") + 1),
                     "."),
             )
-            return with_path(out, target, reg).drop(rid, "__psk")
+            return with_path(out, target, reg).drop("__dom", "__psk")
 
     return RegisteredDomain()

@@ -104,8 +104,14 @@ def community_id(cfg: dict[str, Any]) -> Stage:
             dp = col_or_null(dst_p_f, "int")
 
             is_icmp4, is_icmp6 = proto == 1, proto == 58
-            icmp_t = col_or_null(icmp_t_f, "int")
-            icmp_c = col_or_null(icmp_c_f, "int")
+            # a flow is hashed even when ICMP type/code are unavailable:
+            # both default to 0 unless BOTH are present
+            # (communityid.go:173-179 "Return a flow even if...")
+            raw_t = col_or_null(icmp_t_f, "int")
+            raw_c = col_or_null(icmp_c_f, "int")
+            both = raw_t.isNotNull() & raw_c.isNotNull()
+            icmp_t = F.when(both, raw_t).otherwise(F.lit(0))
+            icmp_c = F.when(both, raw_c).otherwise(F.lit(0))
             equiv = F.when(is_icmp4, _equiv_chain(icmp_t, ICMP4_EQUIV)).when(
                 is_icmp6, _equiv_chain(icmp_t, ICMP6_EQUIV))
             one_way = (is_icmp4 | is_icmp6) & equiv.isNull()

@@ -71,6 +71,24 @@ def multiline(cfg: dict[str, Any]) -> Stage:
             f"multiline: unknown config keys {sorted(unknown)} "
             f"(known: {sorted(_ML_KEYS)})"
         )
+    # per-mode rejection of foreign keys: a key another mode owns would be
+    # silently ignored otherwise — the exact failure mode strict keys exist
+    # to prevent (e.g. flush_pattern under while_pattern)
+    _mode = cfg.get("type") or ("count" if cfg.get("count_lines") else "pattern")
+    _common = {"type", "field", "partition_by", "order_by", "max_lines",
+               "separator", "ts_field"}
+    _per_mode = {
+        "pattern": _common | {"pattern", "negate", "match", "flush_pattern",
+                              "timeout"},
+        "while_pattern": _common | {"pattern", "negate", "timeout"},
+        "count": _common | {"count_lines"},
+    }
+    foreign = set(cfg) - _per_mode.get(_mode, _ML_KEYS)
+    if foreign:
+        raise ValueError(
+            f"multiline: keys {sorted(foreign)} are not used by "
+            f"type {_mode!r} (allowed: {sorted(_per_mode[_mode])})"
+        )
     fld = cfg.get("field", "text")
     part = cfg.get("partition_by", ["conv_id"])
     order = cfg.get("order_by", ["turn_idx"])

@@ -152,11 +152,11 @@ def test_container_reader_is_pure_jvm(spark, tmp_path):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
-def test_minhash_signature_is_codegen_agg_with_persisted_bands(spark):
-    """The signature pass must be a codegen'd hash aggregate over exploded
-    hashes (not an interpreted HOF projection), and the banded frame must
-    be persisted so the candidate self-join does not recompute it per
-    side."""
+def test_minhash_candidates_checkpointed_no_python(spark):
+    """The candidate generation must complete eagerly with the banded
+    frame cached only transiently (no persisted DataFrames leak from the
+    operator), and the returned verification plan must consume the
+    materialized id-pairs (ExistingRDD scan), never Python."""
     from beats_spark.ml.dedup import minhash_lsh_pairs
 
     docs = spark.createDataFrame(
@@ -164,9 +164,9 @@ def test_minhash_signature_is_codegen_agg_with_persisted_bands(spark):
         "doc_id int, text string")
     pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.9)
     plan = plan_of(pairs)
-    assert "InMemoryTableScan" in plan      # persisted banded frame
+    assert "ExistingRDD" in plan            # checkpointed candidate pairs
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    # the 64 min-aggregates appear as a HashAggregate, not a HOF transform
-    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    # the transient banded cache was dropped before returning
+    jvm_cache = spark._jsparkSession.sharedState().cacheManager()
+    assert jvm_cache.isEmpty()
     pairs.count()
-    spark.catalog.clearCache()

@@ -572,12 +572,21 @@ def test_registered_domain(spark):
     semantics): longest rule, multi-label suffixes, domains that ARE a
     public suffix yield NULL."""
     rows = [("www.google.com",), ("a.b.example.co.uk",), ("github.io",),
-            ("user.github.io",), ("just-a-host",), (None,)]
+            ("user.github.io",), ("just-a-host",), (None,),
+            ("foo.unknowntld",)]
     out = run(spark, rows, "domain string",
-              [{"registered_domain": {}}]).collect()
-    got = [r["registered_domain"] for r in out]
-    assert got == ["google.com", "example.co.uk", None,
-                   "user.github.io", None, None]
+              [{"registered_domain": {}}]).orderBy(
+                  F.coalesce("domain", F.lit(""))).collect()
+    got = {r["domain"]: r["registered_domain"] for r in out}
+    assert got["www.google.com"] == "google.com"
+    assert got["a.b.example.co.uk"] == "example.co.uk"
+    assert got["github.io"] is None          # IS a public suffix
+    assert got["user.github.io"] == "user.github.io"
+    assert got["just-a-host"] is None        # implicit '*': host IS the suffix
+    assert got[None] is None
+    # the PSL implicit '*' default rule: an unlisted TLD is itself the
+    # public suffix, so eTLD+1 exists (publicsuffix.EffectiveTLDPlusOne)
+    assert got["foo.unknowntld"] == "foo.unknowntld"
 
 
 def test_registered_domain_wildcard_exception(spark):

@@ -368,6 +368,31 @@ def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """registered_domain (eTLD+1 via broadcast public-suffix join;
+    libbeat/processors/registered_domain). Domains are BUILT from the
+    transcript columns across four suffix classes — single-label TLD,
+    multi-label rule, private-registry rule, unlisted TLD (implicit '*'
+    rule) — so the oracle can assert the known ground truth, which is
+    uniformly conv_id + '.' + suffix."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    t = _transcripts(spark, sf_dir)
+    suffix = (
+        F.when(F.pmod(F.col("turn_idx"), F.lit(4)) == 0, "com")
+        .when(F.pmod(F.col("turn_idx"), F.lit(4)) == 1, "co.uk")
+        .when(F.pmod(F.col("turn_idx"), F.lit(4)) == 2, "github.io")
+        .otherwise("unknowntld")
+    )
+    df = t.withColumn(
+        "domain",
+        F.concat(F.col("tool"), F.lit("."), F.col("conv_id"),
+                 F.lit("."), suffix),
+    )
+    out = apply_chain(df, build_chain([{"registered_domain": {}}]))
+    return out.select("conv_id", "turn_idx", "domain", "registered_domain")
+
+
 def q_multiline_while(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multiline while_pattern mode (libbeat/reader/multiline/while.go):
     consecutive info lines combine into one event; every other line is a
@@ -645,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_while": q_multiline_while,
         "multiline_flush": q_multiline_flush,
         "syslog_parse": q_syslog_parse,
+        "registered_domain": q_registered_domain,
         "rate_limit": q_rate_limit,
         "enrich_lookup": q_enrich_lookup,
         "script_mapinpandas": q_script_mapinpandas,
@@ -832,6 +858,20 @@ def oracle_sql() -> dict[str, str]:
                       arg_min(role, turn_idx) AS role,
                       string_agg(text, chr(10) ORDER BY turn_idx) AS text
                FROM grp GROUP BY conv_id, gid"""
+        ),
+        # ground truth for the built domains: every suffix class yields
+        # registered_domain = conv_id.suffix (psk=1 for com/unknowntld via
+        # the implicit '*' rule, psk=2 for co.uk/github.io)
+        "registered_domain": _with_t(
+            """SELECT conv_id, turn_idx,
+               tool || '.' || conv_id || '.' ||
+                 CASE turn_idx % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                      WHEN 2 THEN 'github.io' ELSE 'unknowntld' END AS domain,
+               conv_id || '.' ||
+                 CASE turn_idx % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                      WHEN 2 THEN 'github.io' ELSE 'unknowntld' END
+                 AS registered_domain
+               FROM transcripts"""
         ),
         # ground truth for the built-then-parsed syslog lines: the oracle
         # recomputes the fields the parser must recover

@@ -124,7 +124,11 @@ def _worker(cores: int) -> None:
         },
     )
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    reps = int(os.environ.get("BENCH_REPS", str(max(6, cores // 4))))
+    # 5 per worker invocation × BENCH_ROUNDS alternating rounds = 10 samples
+    # per level; more reps per block would lengthen each block past the
+    # host's multi-minute throttle windows, which is what the alternation
+    # exists to average out
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     from beats_spark.testdata import synthesize_transcripts
 
     src = tempfile.mkdtemp(prefix=f"bench_src_{cores}_", dir=shm)

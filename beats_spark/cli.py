@@ -52,6 +52,15 @@ def cmd_ingest(args) -> None:
     spark = _spark(args)
     cat = ParquetCatalog(spark, args.warehouse)
     df = spark.read.parquet(args.input)
+    missing = [c for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+               if c not in df.columns]
+    if missing:
+        raise SystemExit(
+            f"ingest: input is not transcript-shaped, missing columns "
+            f"{missing} (have: {df.columns}). Derive transcripts first "
+            "(beats_spark.testdata.transcripts_from_events for the events "
+            "table) or pass a conforming parquet."
+        )
     snap = cat.append(df, args.source_table)
     print(json.dumps({"table": args.source_table,
                       "snapshot_id": snap.snapshot_id,

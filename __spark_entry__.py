@@ -368,6 +368,21 @@ def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming metrics aggregation (streaming/runner.py
+    windowed_counts: watermarked tumbling-window events_routed per sink)
+    executed in batch mode — identical expressions, so the window algebra
+    itself gets a value-level oracle; the live-stream path is pinned by
+    tests/test_cli_streaming.py."""
+    from beats_spark.pipeline import Pipeline, fixture_config
+    from beats_spark.streaming.runner import windowed_counts
+
+    routed = Pipeline(spark, fixture_config()).transform(
+        _transcripts(spark, sf_dir))
+    return windowed_counts(routed, window="1 minute").withColumnRenamed(
+        "_sink", "sink")
+
+
 def q_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """registered_domain (eTLD+1 via broadcast public-suffix join;
     libbeat/processors/registered_domain). Domains are BUILT from the
@@ -671,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_flush": q_multiline_flush,
         "syslog_parse": q_syslog_parse,
         "registered_domain": q_registered_domain,
+        "windowed_counts": q_windowed_counts,
         "rate_limit": q_rate_limit,
         "enrich_lookup": q_enrich_lookup,
         "script_mapinpandas": q_script_mapinpandas,
@@ -791,6 +807,11 @@ def oracle_sql() -> dict[str, str]:
         "route_counts": _with_t(
             f"SELECT {route_case} AS sink, count(*) AS events_routed "
             "FROM transcripts WHERE role != 'system' GROUP BY 1"
+        ),
+        "windowed_counts": _with_t(
+            f"""SELECT date_trunc('minute', ts) AS window_start,
+                {route_case} AS sink, count(*) AS events_routed
+                FROM transcripts WHERE role != 'system' GROUP BY 1, 2"""
         ),
         "routed_rows_search": _with_t(
             "SELECT conv_id, turn_idx, role, text, tool FROM transcripts "

@@ -40,7 +40,11 @@ NAMED_NETWORKS: dict[str, list[str]] = {
     "unspecified": ["0.0.0.0/32", "::/128"],
 }
 
-_IPV4_RE = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
+# octets bounded to 0-255: a permissive \d{1,3} would let '999.1.2.3'
+# alias into a 34-bit value and positively match unrelated CIDRs, where
+# Go's net.ParseIP rejects the address outright
+_IPV4_OCTET = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+_IPV4_RE = rf"^{_IPV4_OCTET}\.{_IPV4_OCTET}\.{_IPV4_OCTET}\.{_IPV4_OCTET}$"
 _IPV4_TAIL_RE = r":(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})$"
 
 

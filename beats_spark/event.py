@@ -60,7 +60,22 @@ def _fresh_struct(parts: list[str], value: Column) -> Column:
     return out
 
 
+def _null_struct(t: T.StructType) -> Column:
+    """A non-NULL struct value whose every field is NULL — the writable
+    stand-in for a per-row NULL struct (withField on a NULL struct returns
+    NULL, silently losing the set; MapStr.Put creates intermediates for
+    every event, mapstr.go:462-478)."""
+    return F.struct(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in t.fields]
+    )
+
+
+def _writable(parent: Column, t: T.StructType) -> Column:
+    return F.when(parent.isNotNull(), parent).otherwise(_null_struct(t))
+
+
 def _set_nested(parent: Column, parent_type: T.StructType, parts: list[str], value: Column) -> Column:
+    parent = _writable(parent, parent_type)
     name = parts[0]
     if len(parts) == 1:
         return parent.withField(_quote(name), value)

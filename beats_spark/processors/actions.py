@@ -79,9 +79,20 @@ def add_tags_proc(cfg: dict[str, Any]) -> Stage:
         def apply(self, df: DataFrame, cond: Column | None = None) -> DataFrame:
             if cond is None:
                 return _add_tags(df, tags, target)
-            from beats_spark.event import tags_expr, with_path
+            from beats_spark.event import path_type, tags_expr, with_path
+            from pyspark.sql import types as T
+
             appended = tags_expr(df, tags, target)
-            old = get_path(df, target) if has_path(df.schema, target) else F.lit(None).cast("array<string>")
+            t = path_type(df.schema, target)
+            if isinstance(t, T.ArrayType):
+                old = get_path(df, target)
+            elif isinstance(t, T.StringType):
+                # both when-branches must be array<string>: wrap the scalar
+                # like the unconditional path does (mapstr.go:399-403)
+                old = F.when(get_path(df, target).isNotNull(),
+                             F.array(get_path(df, target)))
+            else:
+                old = F.lit(None).cast("array<string>")
             return with_path(df, target, F.when(cond, appended).otherwise(old))
 
     return AddTags()
@@ -105,8 +116,14 @@ def rename(cfg: dict[str, Any]) -> Stage:
                     if ignore_missing or not fail_on_error:
                         continue
                     raise ValueError(f"rename: missing source field {src!r}")
-                if has_path(df.schema, dst) and fail_on_error:
-                    raise ValueError(f"rename: target field {dst!r} already exists")
+                if has_path(df.schema, dst):
+                    if fail_on_error:
+                        raise ValueError(
+                            f"rename: target field {dst!r} already exists")
+                    # reference renameField errors on an existing target;
+                    # with fail_on_error=false the event stays UNCHANGED —
+                    # not overwritten (actions/rename.go:75-98)
+                    continue
                 if cond is None:
                     df = rename_path(df, src, dst)
                 else:
@@ -173,16 +190,43 @@ def include_fields(cfg: dict[str, Any]) -> Stage:
 
     class IncludeFields(Stage):
         def custom(self, df: DataFrame) -> DataFrame:
-            keep_roots: list[str] = []
+            from pyspark.sql import types as T
+
             wanted = set(fields) | PROTECTED_FIELDS
+
+            def prune(col: Column, dtype, prefix: str) -> Column | None:
+                """Rebuild a struct keeping only wanted subtrees — a kept
+                root must not smuggle sibling fields through
+                (include_fields.go prunes to exactly the listed paths)."""
+                kept = []
+                for f in dtype.fields:
+                    p = f"{prefix}.{f.name}"
+                    if p in wanted or not isinstance(f.dataType, T.StructType):
+                        if p in wanted or any(
+                                w.startswith(p + ".") for w in wanted):
+                            kept.append(col.getField(f.name).alias(f.name))
+                    elif any(w.startswith(p + ".") for w in wanted):
+                        sub = prune(col.getField(f.name), f.dataType, p)
+                        if sub is not None:
+                            kept.append(sub.alias(f.name))
+                if not kept:
+                    return None
+                return F.when(col.isNotNull(), F.struct(*kept))
+
+            cols = []
             for root in df.schema.fieldNames():
                 if root.startswith("_") or root in wanted:
-                    keep_roots.append(root)
+                    cols.append(F.col(root))
                     continue
-                # keep a root if any wanted path lives under it
-                if any(w == root or w.startswith(root + ".") for w in wanted):
-                    keep_roots.append(root)
-            return df.select(*keep_roots)
+                if any(w.startswith(root + ".") for w in wanted):
+                    dtype = df.schema[root].dataType
+                    if isinstance(dtype, T.StructType):
+                        sub = prune(F.col(root), dtype, root)
+                        if sub is not None:
+                            cols.append(sub.alias(root))
+                    else:
+                        cols.append(F.col(root))
+            return df.select(*cols)
 
     return IncludeFields()
 
@@ -285,7 +329,12 @@ def extract_field(cfg: dict[str, Any]) -> Stage:
 
     class ExtractField(Stage):
         def updates(self, df: DataFrame) -> dict[str, Column]:
-            parts = F.split(get_path(df, fld), F.lit(sep).cast("string"), -1)
+            import re as _re
+
+            # the reference splits on a LITERAL separator (strings.Split);
+            # F.split takes a Java regex, so metacharacters ('.', '|') must
+            # be escaped or they split on every character
+            parts = F.split(get_path(df, fld), _re.escape(sep), -1)
             return {target: F.element_at(parts, idx + 1)}
 
     return ExtractField()

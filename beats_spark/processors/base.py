@@ -59,7 +59,14 @@ class Stage:
 
         keep = self.keep(df)
         if keep is not None:
-            return df.filter(keep if cond is None else (~cond | keep))
+            # NULL-safe guard: a when-condition that evaluates NULL per row
+            # (e.g. equals' try_cast failing) means "condition false" in the
+            # reference — ~NULL would otherwise stay NULL and the filter
+            # would DROP the row
+            return df.filter(
+                keep if cond is None
+                else (~F.coalesce(cond, F.lit(False)) | keep)
+            )
 
         ups = self.updates(df)
         for path, new in ups.items():

@@ -129,15 +129,32 @@ def timestamp(cfg: dict[str, Any]) -> Stage:
             attempts = []
             for lay in layouts:
                 if lay == "UNIX":
-                    attempts.append(F.try_to_timestamp(src.try_cast("double").cast("string")))
+                    # numeric epoch — NOT a string parse (a double rendered
+                    # back to string is '1.7E9', which try_to_timestamp
+                    # rejects); timestamp_seconds handles fractional too
+                    attempts.append(F.timestamp_seconds(src.try_cast("double")))
                 elif lay == "UNIX_MS":
-                    attempts.append(F.try_to_timestamp((src.try_cast("double") / 1000.0).cast("string")))
+                    attempts.append(F.timestamp_millis(src.try_cast("long")))
                 elif "X" in lay or "Z" in lay.replace("'", ""):
                     attempts.append(F.try_to_timestamp(src, F.lit(lay)))
                 else:
-                    attempts.append(
-                        F.to_utc_timestamp(F.try_to_timestamp(src, F.lit(lay)), tz)
-                    )
+                    parsed_lay = F.try_to_timestamp(src, F.lit(lay))
+                    # year-less layout (classic syslog; the translated JAVA
+                    # pattern has no y/u token outside quoted literals):
+                    # Spark defaults the missing year to 1970; the
+                    # reference substitutes the CURRENT year (timestamp.go
+                    # year-0 handling). INTERVAL arithmetic keeps the time
+                    # of day (add_months would truncate to a date).
+                    import re as _re
+
+                    unquoted = _re.sub(r"'[^']*'", "", lay)
+                    if "y" not in unquoted and "u" not in unquoted:
+                        import datetime as _dt
+
+                        cur = _dt.date.today().year
+                        parsed_lay = parsed_lay + F.expr(
+                            f"INTERVAL {cur - 1970} YEARS")
+                    attempts.append(F.to_utc_timestamp(parsed_lay, tz))
             parsed = F.coalesce(*attempts) if attempts else F.try_to_timestamp(src)
             if not ignore_failure:
                 return {target: parsed}
@@ -184,16 +201,30 @@ def decode_json_fields(cfg: dict[str, Any]) -> Stage:
                 if cond is not None:
                     parsed = F.when(cond, parsed)
                 dst = target if target else fld
-                df = with_path(df, dst, parsed)
                 if add_error_key:
-                    bad = col.isNotNull() & parsed.isNull()
+                    # error key FIRST: when dst == fld the write below
+                    # replaces the source column, and Columns resolve by
+                    # NAME against the frame they are used with — computing
+                    # `bad` afterwards would re-parse the decoded struct
+                    # (always failing) instead of the original string.
+                    # PERMISSIVE from_json yields a null-FIELD struct on bad
+                    # input, never a NULL struct, so failure is detected
+                    # with a corrupt-record probe (readjson's addError path)
+                    probe = F.from_json(
+                        col, "struct<__corrupt: string>",
+                        {"columnNameOfCorruptRecord": "__corrupt"},
+                    )
+                    bad = col.isNotNull() & probe["__corrupt"].isNotNull()
                     df = with_path(
                         df,
                         "error.message",
                         F.when(bad, F.lit("Error decoding JSON field")).otherwise(
                             get_path(df, "error.message")
+                            if has_path(df.schema, "error.message")
+                            else F.lit(None).cast("string")
                         ),
                     )
+                df = with_path(df, dst, parsed)
             return df
 
     return DecodeJson()

@@ -43,8 +43,10 @@ def _u8(n: Column) -> Column:
 
 def _ip_bytes(ip: Column) -> Column:
     """network-byte-order address bytes: 4 for IPv4 (getRawIP's To4
-    normalization), 16 for IPv6."""
-    from beats_spark.conditions import _ip4_to_long, _ip6_words
+    normalization), 16 for IPv6. Invalid addresses (octets > 255,
+    non-IP strings) yield NULL → NULL community id, matching net.ParseIP
+    failure → buildFlow nil."""
+    from beats_spark.conditions import _IPV4_RE, _ip4_to_long, _ip6_words
 
     v4 = F.unhex(F.lpad(F.hex(_ip4_to_long(ip)), 8, "0"))
     words = _ip6_words(ip)
@@ -54,7 +56,7 @@ def _ip_bytes(ip: Column) -> Column:
             lambda acc, w: F.concat(acc, F.lpad(F.hex(w.cast("int")), 4, "0")),
         )
     )
-    return F.when(ip.rlike(r"^\d+\.\d+\.\d+\.\d+$"), v4).otherwise(v6)
+    return F.when(ip.rlike(_IPV4_RE), v4).otherwise(v6)
 
 
 def _equiv_chain(t: Column, table: dict[int, int]) -> Column:

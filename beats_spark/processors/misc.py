@@ -31,7 +31,9 @@ def decompress_gzip_field(cfg: dict[str, Any]) -> Stage:
             if v is None:
                 return None
             try:
-                b = bytes(v)
+                # a string-typed column carries the bytes as latin-1-safe
+                # chars (bytes(str) would raise and silently NULL the row)
+                b = v.encode("latin-1", "ignore") if isinstance(v, str) else bytes(v)
                 return gzip.decompress(b).decode("utf-8", "replace")
             except Exception:
                 return None

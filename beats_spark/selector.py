@@ -50,7 +50,7 @@ def compile_rule(df: DataFrame, rule: dict[str, Any]) -> Column:
     if default is not None:
         val = F.coalesce(val, F.lit(str(default)))
 
-    case = rule.get("case", "").lower()
+    case = (rule.get("case") or "").lower()  # tolerate explicit `case: null`
     if case == "lower":
         val = F.lower(val)
     elif case == "upper":

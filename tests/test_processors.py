@@ -611,3 +611,120 @@ def test_registered_domain_unknown_list_raises(spark):
     df = spark.createDataFrame([("x.com",)], "domain string")
     with _pytest.raises(ValueError, match="unknown suffix list"):
         run_df(spark, df, [{"registered_domain": {"suffix_list": "nope"}}]).collect()
+
+
+# -- round-2 review regressions ----------------------------------------------
+
+def test_timestamp_unix_layouts(spark):
+    """UNIX / UNIX_MS layouts parse numeric epochs (timestamp.go's epoch
+    branch) — a double rendered back to string ('1.7E9') would not."""
+    out = run(
+        spark, [("1700000000", "1700000000500")], "s string, ms string",
+        [{"timestamp": {"field": "s", "layouts": ["UNIX"], "target_field": "t1"}},
+         {"timestamp": {"field": "ms", "layouts": ["UNIX_MS"], "target_field": "t2"}}],
+    ).collect()[0]
+    assert out["t1"] == dt.datetime(2023, 11, 14, 22, 13, 20)
+    assert out["t2"] == dt.datetime(2023, 11, 14, 22, 13, 20, 500000)
+
+
+def test_timestamp_yearless_layout_uses_current_year(spark):
+    out = run(
+        spark, [("Aug 17 10:00:00",)], "raw string",
+        [{"timestamp": {"field": "raw", "layouts": ["Jan 2 15:04:05"]}}],
+    ).collect()[0]
+    assert out["ts"].year == dt.date.today().year  # not 1970
+
+
+def test_decode_json_add_error_key_polarity(spark):
+    """error.message must mark the INVALID rows, not the decoded ones —
+    in-place decode overwrites the source, so the error predicate has to
+    be evaluated against the original string first."""
+    out = run(
+        spark, [('{"k": 1}',), ("not json",)], "msg string",
+        [{"decode_json_fields": {"fields": ["msg"], "add_error_key": True,
+                                 "schema": "k int"}}],
+    ).collect()
+    good = [r for r in out if r["msg"] is not None and r["msg"]["k"] == 1][0]
+    bad = [r for r in out if r is not good][0]
+    assert good["error"] is None or good["error"]["message"] is None
+    assert bad["error"]["message"] == "Error decoding JSON field"
+
+
+def test_extract_field_literal_separator(spark):
+    """strings.Split semantics: '.' and '|' are literal separators, not
+    regexes."""
+    out = run(
+        spark, [("a.b.c", "x|y|z")], "d string, p string",
+        [{"extract_field": {"field": "d", "separator": ".", "index": 1,
+                            "target": "dot"}},
+         {"extract_field": {"field": "p", "separator": "|", "index": 2,
+                            "target": "pipe"}}],
+    ).collect()[0]
+    assert out["dot"] == "b" and out["pipe"] == "z"
+
+
+def test_drop_event_null_condition_keeps_row(spark):
+    """A when-condition evaluating NULL per row (equals int vs non-numeric
+    string) means FALSE — the row is kept, as the reference keeps events
+    whose condition does not match."""
+    out = run(
+        spark, [("abc",), ("5",)], "status string",
+        [{"drop_event": {"when": {"equals": {"status": 5}}}}],
+    ).collect()
+    assert [r["status"] for r in out] == ["abc"]
+
+
+def test_add_tags_when_on_scalar_tags_column(spark):
+    out = run(
+        spark, [("x", "err"), (None, "ok")], "tags string, status string",
+        [{"add_tags": {"tags": ["new"],
+                       "when": {"equals": {"status": "err"}}}}],
+    ).orderBy("status").collect()
+    assert out[0]["tags"] == ["x", "new"]   # scalar wrapped then appended
+    assert out[1]["tags"] is None           # condition false: unchanged
+
+
+def test_rename_existing_target_not_overwritten(spark):
+    """fail_on_error=false + existing target: the event stays unchanged
+    (rename.go errors per event and rolls back)."""
+    out = run(
+        spark, [("s", "keep-me")], "a string, b string",
+        [{"rename": {"fields": [{"from": "a", "to": "b"}],
+                     "fail_on_error": False}}],
+    ).collect()[0]
+    assert out["b"] == "keep-me" and out["a"] == "s"
+
+
+def test_include_fields_prunes_nested_siblings(spark):
+    out = run(
+        spark,
+        [((("GET", "secret-body"), ("200",)),)],
+        "http struct<request:struct<method:string, body:string>, "
+        "response:struct<code:string>>",
+        [{"include_fields": {"fields": ["http.request.method"]}}],
+    )
+    row = out.collect()[0]
+    assert row["http"]["request"]["method"] == "GET"
+    assert "body" not in row["http"]["request"].asDict()
+    assert "response" not in row["http"].asDict()
+
+
+def test_with_path_on_null_struct_row(spark):
+    """Setting a nested field must work on rows whose parent struct is
+    NULL (MapStr.Put creates intermediates for every event)."""
+    out = run(
+        spark, [((None,), ), (None, )],
+        "meta struct<x:string>",
+        [{"add_fields": {"target": "meta", "fields": {"env": "prod"}}}],
+    ).collect()
+    assert all(r["meta"]["env"] == "prod" for r in out)
+
+
+def test_decompress_gzip_string_column(spark):
+    import gzip as _gz
+    blob = _gz.compress(b"inner text").decode("latin-1")
+    out = run(
+        spark, [(blob,)], "payload string",
+        [{"decompress_gzip_field": {"field": {"from": "payload", "to": "plain"}}}],
+    ).collect()[0]
+    assert out["plain"] == "inner text"

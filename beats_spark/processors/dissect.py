@@ -294,8 +294,9 @@ def _go_parse_bool(s: pd.Series) -> pd.Series:
     return out
 
 
+_OCT = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
 _IP_RE = re.compile(
-    r"^((\d{1,3}\.){3}\d{1,3}|([0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4})$"
+    rf"^(({_OCT}\.){{3}}{_OCT}|([0-9A-Fa-f]{{0,4}}:){{2,7}}[0-9A-Fa-f]{{0,4}})$"
 )
 
 
@@ -310,8 +311,14 @@ def _convert_series(s: pd.Series, dtype: str) -> pd.Series:
             hx = v[hexmask].map(lambda x: _try_int16(x))
             num = num.astype("object")
             num[hexmask] = hx
-        out = pd.to_numeric(num, errors="coerce").astype("Int64" if dtype == "long" else "Int32")
-        return out
+        num = pd.to_numeric(num, errors="coerce")
+        # non-integral or out-of-range values → null (Go ParseInt error →
+        # no field); a bare astype would RAISE 'cannot safely cast' and
+        # kill the task instead
+        lo, hi = ((-(2 ** 63), 2 ** 63 - 1) if dtype == "long"
+                  else (-(2 ** 31), 2 ** 31 - 1))
+        okm = num.notna() & (num % 1 == 0) & (num >= lo) & (num <= hi)
+        return num.where(okm).astype("Int64" if dtype == "long" else "Int32")
     if dtype in ("float", "double"):
         return pd.to_numeric(v, errors="coerce").astype("Float64" if dtype == "double" else "Float32")
     if dtype == "boolean":
@@ -535,26 +542,49 @@ def dissect(cfg: dict[str, Any]) -> Stage:
                     payload = F.struct(
                         *[F.col(f"{tmp}.{n}").alias(n) for n in out_names]
                     )
+            if is_dynamic and not target:
+                # a dynamic map cannot merge into the root of a static
+                # schema — silently losing the extraction would look like
+                # success, so refuse at plan time
+                raise ValueError(
+                    "dissect: dynamic tokenizers (?/&/* keys) require a "
+                    "non-empty target_prefix (map output cannot merge at "
+                    "the schema root)"
+                )
             if cond is not None:
                 failed = cond & failed
-                payload = F.when(cond & ~failed, payload)
+                ok = cond & ~failed
             else:
-                payload = F.when(~failed, payload)
+                ok = ~failed
             if target:
                 from beats_spark.event import with_path
-                df = with_path(df, target, payload)
+                # failed / condition-false rows keep their PRE-EXISTING
+                # target (processor.go: failed events pass unchanged) —
+                # a bare when() would null it out
+                old_t = (get_path(df, target)
+                         if has_path(df.schema, target) else None)
+                new_t = (F.when(ok, payload).otherwise(old_t)
+                         if old_t is not None else F.when(ok, payload))
+                df = with_path(df, target, new_t)
             else:
                 # merge at root (target_prefix: "")
                 for n in out_names:
-                    if has_path(df.schema, n) and not overwrite_keys:
+                    pre = has_path(df.schema, n)
+                    if pre and not overwrite_keys:
                         raise ValueError(f"dissect: key {n!r} exists at root")
-                    df = df.withColumn(n, payload.getField(n))
+                    v = F.when(ok, payload.getField(n))
+                    if pre:
+                        v = v.otherwise(get_path(df, n))
+                    df = df.withColumn(n, v)
             df = append_flag(df, FLAG_PARSING_ERROR, cond=failed)
             if not ignore_failure:
                 from beats_spark.event import with_path
+                prev_err = (get_path(df, "error.message")
+                            if has_path(df.schema, "error.message")
+                            else F.lit(None).cast("string"))
                 err = F.when(
                     failed, F.lit(f"dissect: parsing failure (tokenizer={tokenizer})")
-                ).otherwise(get_path(df, "error.message"))
+                ).otherwise(prev_err)
                 df = with_path(df, "error.message", err)
             return df.drop(tmp) if tmp else df
 

@@ -50,11 +50,15 @@ def enrich(cfg: dict[str, Any]) -> Stage:
                 raise ValueError("enrich: lookup or table required")
             cols = fields or [c for c in dim.columns if c != key_col]
             if isinstance(cols, dict):
-                sel = [F.col(k).alias(v) for k, v in cols.items()]
-                out_names = list(cols.values())
+                pairs = list(cols.items())
             else:
-                sel = [F.col(c) for c in cols]
-                out_names = list(cols)
+                pairs = [(c, c) for c in cols]
+            # dim columns ride the join under a reserved prefix so a dim
+            # column sharing a name with an event column can neither
+            # become an ambiguous reference nor get the event's own
+            # column dropped afterwards
+            sel = [F.col(src).alias(f"__enr_{dst}") for src, dst in pairs]
+            out_names = [dst for _, dst in pairs]
             dim = dim.select(F.col(key_col).alias("__enrich_key"), *sel)
             joined = df.join(
                 F.broadcast(dim),
@@ -63,14 +67,14 @@ def enrich(cfg: dict[str, Any]) -> Stage:
             ).drop("__enrich_key")
             payload_cols: list[Column] = []
             for c in out_names:
-                v = F.col(c)
+                v = F.col(f"__enr_{c}")
                 if c in defaults:
                     v = F.coalesce(v, F.lit(defaults[c]))
                 payload_cols.append(v.alias(c))
             payload = F.struct(*payload_cols)
             from beats_spark.event import with_path
             joined = with_path(joined, target, payload)
-            return joined.drop(*out_names)
+            return joined.drop(*[f"__enr_{c}" for c in out_names])
 
     return Enrich()
 

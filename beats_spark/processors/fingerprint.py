@@ -37,13 +37,22 @@ def render_go_value(df: DataFrame, fld: str) -> Column:
     dt = path_type(df.schema, fld)
     if isinstance(dt, T.TimestampType):
         # Go time.String(): "2006-01-02 15:04:05.999999999 +0000 UTC"
-        # (fraction trimmed of trailing zeros, dot omitted when zero)
+        # (fraction trimmed of trailing zeros, dot omitted when zero).
+        # date_format renders in the SESSION timezone; shift so the wall
+        # time is UTC regardless of session tz — otherwise the same event
+        # fingerprints differently across differently-configured clusters
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+            col = F.to_utc_timestamp(col, tz)
         base = F.date_format(col, "yyyy-MM-dd HH:mm:ss")
         frac = F.regexp_replace(F.date_format(col, "SSSSSS"), "0+$", "")
         with_frac = F.when(frac == "", base).otherwise(F.concat(base, F.lit("."), frac))
         return F.concat(with_frac, F.lit(" +0000 UTC"))
     if isinstance(dt, T.BooleanType):
-        return F.when(col, F.lit("true")).otherwise(F.lit("false"))
+        # NULL must stay NULL so serialize_fields renders '<nil>', not
+        # 'false'
+        return F.when(col.isNull(), F.lit(None).cast("string")).when(
+            col, F.lit("true")).otherwise(F.lit("false"))
     if isinstance(dt, (T.FloatType, T.DoubleType)):
         # shortest repr; strip a trailing ".0" like Go %v for whole floats
         return F.regexp_replace(col.cast("string"), r"\.0$", "")
@@ -67,6 +76,7 @@ def serialize_fields(df: DataFrame, fields: list[str], ignore_missing: bool) -> 
 
 def hash_column(serialized: Column, method: str, encoding: str) -> Column:
     method = method.lower()
+    encoding = encoding.lower()  # before the xxhash check: 'HEX' is valid
     if method == "md5":
         hex_col = F.md5(serialized)
     elif method == "sha1":
@@ -79,7 +89,6 @@ def hash_column(serialized: Column, method: str, encoding: str) -> Column:
         return F.lower(F.hex(F.xxhash64(serialized)))
     else:
         raise ValueError(f"fingerprint: unknown method {method!r}")
-    encoding = encoding.lower()
     if encoding == "hex":
         return hex_col
     if encoding == "base64":

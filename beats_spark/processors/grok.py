@@ -113,21 +113,38 @@ def grok(cfg: dict[str, Any]) -> Stage:
                     v = v.try_cast(_GROK_TYPES.get(typ, "string"))
                 cols[name] = v
             failed = F.coalesce(~matched, F.lit(True))
+            ok = F.coalesce(matched, F.lit(False))
             if cond is not None:
                 failed = cond & failed
+                ok = cond & ok
+            # non-matching / condition-false rows keep any PRE-EXISTING
+            # destination value (a fallback grok chain over two formats
+            # must not null out what the previous grok extracted)
             if target:
                 payload = F.struct(*[c.alias(n) for n, c in cols.items()])
-                if cond is not None:
-                    payload = F.when(cond, payload)
+                if has_path(df.schema, target):
+                    payload = F.when(ok, payload).otherwise(
+                        get_path(df, target))
+                else:
+                    payload = F.when(ok, payload)
                 df = with_path(df, target, payload)
             else:
                 for n, c in cols.items():
-                    if cond is not None:
-                        old = get_path(df, n) if has_path(df.schema, n) else F.lit(None)
-                        c = F.when(cond, c).otherwise(old)
-                    df = with_path(df, n, c)
+                    old = (get_path(df, n) if has_path(df.schema, n)
+                           else F.lit(None))
+                    df = with_path(df, n, F.when(ok, c).otherwise(old))
+            # failure is always visible in log.flags (like dissect);
+            # error.message only without ignore_failure
+            df = append_flag(df, "grok_parsing_error", cond=failed)
             if not ignore_failure:
-                df = append_flag(df, "grok_parsing_error", cond=failed)
+                prev_err = (get_path(df, "error.message")
+                            if has_path(df.schema, "error.message")
+                            else F.lit(None).cast("string"))
+                df = with_path(
+                    df, "error.message",
+                    F.when(failed, F.lit("grok: no pattern matched"))
+                    .otherwise(prev_err),
+                )
             return df
 
     return Grok()

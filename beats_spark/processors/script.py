@@ -31,18 +31,34 @@ def script(cfg: dict[str, Any]) -> Stage:
     class Script(Stage):
         def custom(self, df: DataFrame) -> DataFrame:
             out_schema = schema_ddl or df.schema
+            if isinstance(schema_ddl, str):
+                from pyspark.sql.types import _parse_datatype_string
+
+                out_cols = _parse_datatype_string(schema_ddl).fieldNames()
+            else:
+                out_cols = [f.name for f in df.schema.fields]
+
+            def conform(pdf):
+                """Shape a batch to the DECLARED output schema — the
+                exception fallback must not crash Arrow serialization just
+                because fn would have added/removed columns."""
+                out = pdf.copy()
+                for c in out_cols:
+                    if c not in out.columns:
+                        out[c] = None
+                return out[[c for c in out_cols]]
 
             def run(batches):
                 for pdf in batches:
                     try:
                         yield fn(pdf)
                     except Exception:  # noqa: BLE001 — mirror tag_on_exception
-                        if "tags" in pdf.columns:
-                            pdf = pdf.copy()
-                            pdf["tags"] = pdf["tags"].map(
+                        fb = conform(pdf)
+                        if "tags" in fb.columns:
+                            fb["tags"] = fb["tags"].map(
                                 lambda t: (list(t) if t is not None else []) + [tag]
                             )
-                        yield pdf
+                        yield fb
 
             return df.mapInPandas(run, schema=out_schema)
 

@@ -49,22 +49,36 @@ def make_rate_limit_fn(limit: str, capacity: int | None = None,
             tokens, last = state.get
         else:
             tokens, last = cap, None
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            ts_sec = pdf["ts"].map(lambda t: t.timestamp())
-            keep = []
-            for t in ts_sec:
-                if last is not None and t > last:
-                    tokens = min(cap, tokens + (t - last) * rate)
-                last = max(last, t) if last is not None else t
-                if tokens >= 1.0:
-                    tokens -= 1.0
-                    keep.append(True)
-                else:
-                    keep.append(False)
-            out = pdf[pd.Series(keep, index=pdf.index)]
-            if len(out):
-                yield out
+        # ONE sort over the whole micro-batch: the iterator yields Arrow
+        # CHUNKS of the group, and sorting each chunk independently would
+        # process later chunks' earlier timestamps out of event-time order
+        # (wrong refill/drop decisions for hot keys spanning chunks)
+        chunks = list(pdfs)
+        whole = pd.concat(chunks) if chunks else None
+        if whole is None or not len(whole):
+            state.update((float(tokens), float(last or 0.0)))
+            return
+        null_ts = whole["ts"].isna()
+        pdf = whole[~null_ts].sort_values("ts")
+        ts_sec = pdf["ts"].map(lambda t: t.timestamp())
+        keep = []
+        for t in ts_sec:
+            if last is not None and t > last:
+                tokens = min(cap, tokens + (t - last) * rate)
+            last = max(last, t) if last is not None else t
+            if tokens >= 1.0:
+                tokens -= 1.0
+                keep.append(True)
+            else:
+                keep.append(False)
+        out = pdf[pd.Series(keep, index=pdf.index)]
+        if null_ts.any():
+            # rows without an event time cannot be rate-limited — pass
+            # them through without touching the bucket (NaT.timestamp()
+            # would otherwise crash the task)
+            out = pd.concat([out, whole[null_ts]])
+        if len(out):
+            yield out
         state.update((float(tokens), float(last if last is not None else 0.0)))
         if idle_timeout_ms:
             state.setTimeoutDuration(idle_timeout_ms)

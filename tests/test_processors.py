@@ -271,7 +271,9 @@ def test_grok_parse(spark):
     ).collect()
     g = out[0]["g"]
     assert g["level"] == "INFO" and g["client"] == "10.1.2.3" and g["ms"] == 42
-    assert out[1]["g"]["level"] is None
+    # failed rows leave the event unchanged: target is NULL (not a struct
+    # of nulls), mirroring dissect
+    assert out[1]["g"] is None
 
 
 def test_grok_stays_jvm_side(spark):
@@ -728,3 +730,112 @@ def test_decompress_gzip_string_column(spark):
         [{"decompress_gzip_field": {"field": {"from": "payload", "to": "plain"}}}],
     ).collect()[0]
     assert out["plain"] == "inner text"
+
+
+def test_dissect_pandas_int_invalid_values_null_not_crash(spark):
+    """Non-integral / out-of-range numeric strings yield null (Go ParseInt
+    failure), never a task-killing astype error."""
+    out = run(
+        spark, [("v=3.5",), ("v=99999999999",), ("v=7",)], "text string",
+        [{"dissect": {"tokenizer": "v=%{n|integer}", "field": "text",
+                      "target_prefix": "p", "ignore_failure": True,
+                      "engine": "pandas"}}],
+    ).orderBy("text").collect()
+    by = {r["text"]: r["p"]["n"] for r in out}
+    assert by["v=3.5"] is None and by["v=99999999999"] is None
+    assert by["v=7"] == 7
+
+
+def test_grok_fallback_chain_preserves_previous_extraction(spark):
+    """A second grok over a different format must not null out what the
+    first grok extracted on rows it does not match."""
+    out = run(
+        spark,
+        [("fmt1 GET",), ("fmt2|POST",)],
+        "text string",
+        [{"grok": {"pattern": "fmt1 %{WORD:method}", "field": "text"}},
+         {"grok": {"pattern": "fmt2\\|%{WORD:method}", "field": "text"}}],
+    ).orderBy("text").collect()
+    assert out[0]["method"] == "GET"   # not clobbered by grok B's miss
+    assert out[1]["method"] == "POST"
+    # failures are visible by default (like dissect)
+    assert "grok_parsing_error" in (out[0]["log"]["flags"] or [])
+
+
+def test_enrich_dim_column_collision(spark):
+    """A dim column named like an event column must neither be ambiguous
+    nor destroy the event's own column."""
+    from beats_spark.processors.enrich import register_lookup
+
+    def dim():
+        return spark.createDataFrame(
+            [("search", "engine")], "tool string, role string")
+
+    register_lookup("collide", dim)
+    out = run(
+        spark, [("search", "user")], "tool string, role string",
+        [{"enrich": {"lookup": "collide", "on": "tool", "target": "meta"}}],
+    ).collect()[0]
+    assert out["role"] == "user"            # event column intact
+    assert out["meta"]["role"] == "engine"  # dim value in the target struct
+
+
+def test_dissect_when_preserves_existing_target(spark):
+    out = run(
+        spark,
+        [("a=1", "x"), ("b=2", "y")],
+        "text string, kind string",
+        [{"dissect": {"tokenizer": "a=%{v}", "field": "text",
+                      "target_prefix": "p", "ignore_failure": True}},
+         {"dissect": {"tokenizer": "b=%{v}", "field": "text",
+                      "target_prefix": "p", "ignore_failure": True,
+                      "overwrite_keys": True,
+                      "when": {"equals": {"kind": "y"}}}}],
+    ).orderBy("text").collect()
+    assert out[0]["p"]["v"] == "1"   # untouched by the second dissect
+    assert out[1]["p"]["v"] == "2"
+
+
+def test_dissect_dynamic_requires_target(spark):
+    with pytest.raises(ValueError, match="target_prefix"):
+        run(spark, [("k=v",)], "text string",
+            [{"dissect": {"tokenizer": "%{?k}=%{&k}", "field": "text",
+                          "target_prefix": ""}}]).collect()
+
+
+def test_script_exception_conforms_to_schema(spark):
+    """tag_on_exception must keep the declared OUTPUT schema even when fn
+    crashed before adding its columns."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    def boom(pdf):
+        raise RuntimeError("nope")
+
+    df = spark.createDataFrame([("x", ["t0"])], "a string, tags array<string>")
+    out = apply_chain(df, build_chain([
+        {"script": {"fn": boom,
+                    "schema": "a string, tags array<string>, extra int"}},
+    ])).collect()[0]
+    assert out["extra"] is None
+    assert "_script_exception" in out["tags"]
+
+
+def test_fingerprint_null_boolean_renders_nil(spark):
+    import hashlib as _h
+    out = run(
+        spark, [(None,)], "flag boolean",
+        [{"fingerprint": {"fields": ["flag"], "method": "sha256"}}],
+    ).collect()[0]
+    assert out["fingerprint"] == _h.sha256(b"|flag|<nil>|").hexdigest()
+
+
+def test_fingerprint_stable_across_session_timezone(spark):
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    cfg = [{"fingerprint": {"fields": ["ts"], "method": "md5"}}]
+    utc = run(spark, [(t,)], "ts timestamp", cfg).collect()[0]["fingerprint"]
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        la = run(spark, [(t,)], "ts timestamp", cfg).collect()[0]["fingerprint"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert utc == la

@@ -120,6 +120,14 @@ class ParquetCatalog:
         snaps = self.snapshots(table)
         if snapshot_ids is not None:
             wanted = set(snapshot_ids)
+            have = {s.snapshot_id for s in snaps}
+            missing = wanted - have
+            if missing:
+                # silently returning the subset would hand the caller
+                # truncated data (e.g. replaying a recorded snapshot list
+                # after a rollback removed one) — fail loudly instead
+                raise ValueError(
+                    f"table {table!r}: unknown snapshot ids {sorted(missing)}")
             snaps = [s for s in snaps if s.snapshot_id in wanted]
         if not snaps:
             raise ValueError(f"table {table!r} has no committed snapshots")

@@ -91,10 +91,17 @@ def extract_features(df: DataFrame, decoder: str = "fake",
                      batch_bytes: int = 64 << 20) -> DataFrame:
     """media table → (media_id, kind, feature array<float>, decode_ok).
 
-    mapInPandas so one Arrow batch flows in per iteration; on a real cluster
-    set spark.sql.execution.arrow.maxRecordsPerBatch so batch_size × median
-    payload ≈ ``batch_bytes``.
+    Binary payloads dominate row size, so the input is repartitioned by a
+    BYTE budget (one cheap length-sum aggregate over the payload column),
+    not a row count — a skewed media table with a few huge blobs per
+    partition would otherwise OOM the Arrow transfer.
     """
+    total = df.select(
+        F.sum(F.coalesce(F.length("payload"), F.lit(0))).alias("b")
+    ).collect()[0]["b"] or 0
+    n_parts = max(1, min(100_000, -(-int(total) // int(batch_bytes))))
+    if n_parts > df.rdd.getNumPartitions():
+        df = df.repartition(n_parts)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

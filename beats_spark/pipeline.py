@@ -234,6 +234,12 @@ class Pipeline:
         with no new source snapshots is a no-op."""
         cat = self.catalog
         assert cat is not None
+        # recovery BEFORE resume: a previous run that crashed between sink
+        # adoption and its lineage commit left orphan sink snapshots; its
+        # source snapshots are still unprocessed per lineage, so resuming
+        # without rollback would append their rows a second time
+        for dead in sorted(cat.incomplete_runs(LINEAGE_TABLE)):
+            cat.rollback_run(dead)
         done: set[str] = set()
         if cat.exists(LINEAGE_TABLE):
             done = {

@@ -31,7 +31,11 @@ TRANSCRIPT_SCHEMA = T.StructType(
 # stripped from sink payloads.
 META_PREFIX = "_meta_"
 SINK_COL = "_sink"          # routing decision (outil.Selector result)
-PID_COL = "_pid"            # spark input-partition id, for per-partition lineage
+# _pid (input-partition id) deliberately does NOT carry the META_PREFIX:
+# it is PERSISTED into each sink row as per-partition provenance — the
+# written files are what the (run, partition, sink) metrics re-aggregate
+# from, so stripping it would leave metrics unverifiable after the fact.
+PID_COL = "_pid"
 ERROR_COL = "error"         # struct<message:string> on processor failure
 FLAGS_PATH = "log.flags"    # beat.FlagField (libbeat/beat/event.go:29)
 

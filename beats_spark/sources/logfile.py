@@ -118,10 +118,26 @@ def read_log_files(
         df = df.withColumn("__offset", F.row_number().over(w).cast("long") - 1)
 
     if max_bytes:
-        df = df.withColumn("message", F.substring("message", 1, int(max_bytes)))
+        # filebeat's limit is BYTES: truncate the utf-8 encoding, not a
+        # character count (a multi-byte line would otherwise blow the
+        # budget 3-4×); a rune split at the cut renders U+FFFD like the
+        # reference's raw byte cut renders invalid bytes downstream
+        df = df.withColumn(
+            "message",
+            F.decode(
+                F.substring(F.encode("message", "utf-8"), 1, int(max_bytes)),
+                "utf-8",
+            ),
+        )
 
-    for pat in include_lines or []:
-        df = df.filter(F.col("message").rlike(pat))
+    # include_lines keeps a line matching ANY pattern; exclude_lines drops
+    # a line matching ANY pattern (harvester.go:497-514 MatchAny) — chained
+    # per-pattern filters would AND the includes
+    if include_lines:
+        inc = F.lit(False)
+        for pat in include_lines:
+            inc = inc | F.col("message").rlike(pat)
+        df = df.filter(inc)
     for pat in exclude_lines or []:
         df = df.filter(~F.col("message").rlike(pat))
 
@@ -149,8 +165,11 @@ def read_log_files(
         add_error_key = jcfg.get("add_error_key", False)
         df = df.withColumn("__jfull", parsed)
         bad = F.col("__jfull.__corrupt").isNotNull()
-        names = [c.strip().split(" ")[0].strip("`")
-                 for c in schema.split(",")]
+        # real DDL parser: naive comma/space splitting breaks on any
+        # nested or parameterized type (map<string,int>, decimal(10,2))
+        from pyspark.sql.types import _parse_datatype_string
+
+        names = _parse_datatype_string(schema).fieldNames()
         clean = F.when(
             ~bad,
             F.struct(*[F.col(f"__jfull.{n}").alias(n) for n in names]),
@@ -166,19 +185,42 @@ def read_log_files(
         df = df.drop("__jfull")
         if keys_under_root:
             overwrite = jcfg.get("overwrite_keys", False)
-            names = spark.createDataFrame([], schema).columns if isinstance(schema, str) else []
             for n in names:
+                # 'log' would collide with the harvester envelope added
+                # below; it is merged INTO the envelope there instead
+                # (DeepUpdate semantics for the log map)
+                if n == "log":
+                    continue
                 if n in df.columns and not overwrite:
                     continue
                 df = df.withColumn(n, F.col("__json").getField(n))
-            df = df.drop("__json")
+            if "log" not in names:
+                df = df.drop("__json")
         else:
             df = df.withColumnRenamed("__json", "json")
 
-    return df.select(
-        *[c for c in df.columns if c not in ("__path", "__offset")],
+    # harvester envelope; a promoted json 'log' object contributes its
+    # fields alongside file/offset (the reference DeepUpdates the log map)
+    json_log_fields: list[Column] = []
+    if "__json" in df.columns:
+        jt = dict(zip(
+            [f.name for f in df.schema["__json"].dataType.fields],
+            [f.dataType for f in df.schema["__json"].dataType.fields],
+        ))
+        from pyspark.sql import types as T
+        if isinstance(jt.get("log"), T.StructType):
+            json_log_fields = [
+                F.col("__json.log").getField(f.name).alias(f.name)
+                for f in jt["log"].fields if f.name not in ("file", "offset")
+            ]
+        elif "log" in jt:
+            json_log_fields = [F.col("__json.log").alias("value")]
+    out = df.select(
+        *[c for c in df.columns if c not in ("__path", "__offset", "__json")],
         F.struct(
             F.struct(F.col("__path").alias("path")).alias("file"),
             F.col("__offset").alias("offset"),
+            *json_log_fields,
         ).alias("log"),
     )
+    return out

@@ -25,21 +25,37 @@ from pyspark.sql.streaming import StreamingQuery
 def run_stream(pipe, source: DataFrame, checkpoint: str,
                trigger_seconds: int | None = None) -> StreamingQuery:
     """source (readStream DF) → micro-batch fan-out via the batch pipeline."""
+    import hashlib
+
+    # batch ids are only unique PER CHECKPOINT; scope the run id by the
+    # checkpoint identity, otherwise a second stream (fresh checkpoint)
+    # against the same warehouse collides with the first stream's batch 0
+    # in the lineage table, is mistaken for a replay, and silently DROPS
+    # its first batches
+    stream_id = hashlib.sha256(checkpoint.encode()).hexdigest()[:8]
+    seen_runs: set[str] | None = None  # lazy-loaded once, then O(1)/batch
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        run_id = f"stream-{batch_id:08d}"
-        # idempotent replay: if this batch id already committed, skip
+        nonlocal seen_runs
+        run_id = f"stream-{stream_id}-{batch_id:08d}"
         cat = pipe.catalog
         from beats_spark.pipeline import LINEAGE_TABLE
 
-        if cat.exists(LINEAGE_TABLE):
-            seen = (
-                cat.read(LINEAGE_TABLE)
-                .filter(F.col("run_id") == run_id)
-                .limit(1).count()
-            )
-            if seen:
-                return
+        # idempotent replay: committed batch ids are loaded from lineage
+        # ONCE per (re)start and tracked driver-side afterwards — re-reading
+        # the whole lineage table every micro-batch would cost O(batches)
+        # per batch over the stream's lifetime
+        if seen_runs is None:
+            if cat.exists(LINEAGE_TABLE):
+                seen_runs = {
+                    r["run_id"]
+                    for r in cat.read(LINEAGE_TABLE)
+                    .select("run_id").distinct().collect()
+                }
+            else:
+                seen_runs = set()
+        if run_id in seen_runs:
+            return
         # a PARTIALLY committed earlier attempt (crashed between sink
         # adoption and the lineage commit) would double-append on replay;
         # rollback_run removes its snapshots + staging debris and is a
@@ -47,6 +63,7 @@ def run_stream(pipe, source: DataFrame, checkpoint: str,
         cat.rollback_run(run_id)
         pipe.run(batch_df, run_id=run_id,
                  source_snapshots=[run_id], source_table="_stream")
+        seen_runs.add(run_id)
 
     w = source.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint

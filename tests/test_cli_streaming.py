@@ -100,7 +100,10 @@ def test_streaming_replay_after_partial_commit_is_exactly_once(spark, tmp_path):
     pipe = Pipeline(spark, fixture_config(), cat)
 
     # simulate the crashed first attempt of batch 0: sinks committed,
-    # lineage commit lost
+    # lineage commit lost. Run ids are scoped by checkpoint identity.
+    import hashlib as _hl
+    ckpt = str(tmp_path / "ckpt")
+    rid0 = f"stream-{_hl.sha256(ckpt.encode()).hexdigest()[:8]}-00000000"
     real_append = cat.append
 
     def dying_append(df, table, run_id=None):
@@ -110,8 +113,8 @@ def test_streaming_replay_after_partial_commit_is_exactly_once(spark, tmp_path):
 
     cat.append = dying_append
     with pytest.raises(RuntimeError):
-        pipe.run(tdf, run_id="stream-00000000",
-                 source_snapshots=["stream-00000000"], source_table="_stream")
+        pipe.run(tdf, run_id=rid0,
+                 source_snapshots=[rid0], source_table="_stream")
     cat.append = real_append
     orphans = sum(cat.read(s).count() for s in cat.tables()
                   if s.startswith("sink_"))
@@ -123,7 +126,7 @@ def test_streaming_replay_after_partial_commit_is_exactly_once(spark, tmp_path):
     src_dir = tmp_path / "src"
     tdf.write.parquet(str(src_dir))
     sdf = spark.readStream.schema(tdf.schema).parquet(str(src_dir))
-    q = run_stream(pipe, sdf, checkpoint=str(tmp_path / "ckpt"))
+    q = run_stream(pipe, sdf, checkpoint=ckpt)
     q.awaitTermination(120)
 
     want = pipe.transform(tdf).groupBy("_sink").count().collect()

@@ -335,3 +335,38 @@ def test_all_rows_dropped_run_commits_empty(spark, transcripts, tmp_path):
                 F.sum("events_dropped").alias("d")).collect()[0]
     assert agg["i"] == r.events_in and agg["d"] == r.events_in
     assert cat.incomplete_runs() == set()
+
+
+def test_run_incremental_rolls_back_crashed_run(spark, transcripts, tmp_path):
+    """A run that crashed between sink adoption and its lineage commit must
+    be rolled back by the NEXT resume, not double-appended."""
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    cat.append(transcripts, "transcripts")
+    pipe = Pipeline(spark, fixture_config(), cat)
+    src_snap = cat.snapshots("transcripts")[0].snapshot_id
+
+    real_append = cat.append
+
+    def dying_append(df, table, run_id=None):
+        if table == LINEAGE_TABLE:
+            raise RuntimeError("crash before lineage commit")
+        return real_append(df, table, run_id=run_id)
+
+    cat.append = dying_append
+    with pytest.raises(RuntimeError):
+        pipe.run(cat.read("transcripts"), run_id="crashed",
+                 source_snapshots=[src_snap])
+    cat.append = real_append
+
+    r = pipe.run_incremental("transcripts", run_id="retry")
+    want = oracle_routes(transcripts.toPandas()).value_counts().to_dict()
+    assert r.sinks == want
+    # exactly ONE copy in every sink — the crashed run's orphans are gone
+    assert {s: cat.read(s).count() for s in want} == want
+
+
+def test_catalog_read_unknown_snapshot_raises(spark, transcripts, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    s = cat.append(transcripts, "t")
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        cat.read("t", [s.snapshot_id, "bogus"])

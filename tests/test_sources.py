@@ -237,3 +237,29 @@ def test_container_auto_mixed(spark, tmp_path):
     )
     out = read_container_logs(spark, str(tmp_path), glob="*.log").orderBy("ts")
     assert [r["message"] for r in out.collect()] == ["from docker", "from cri"]
+
+
+def test_include_lines_any_semantics(spark, tmp_path):
+    """include_lines keeps a line matching ANY pattern (MatchAny,
+    harvester.go:497-514) — not the intersection."""
+    (tmp_path / "a.log").write_text("ERR one\nWARN two\nINFO three\n")
+    df = read_log_files(spark, str(tmp_path), glob="*.log",
+                        include_lines=["^ERR", "^WARN"])
+    assert sorted(r["message"] for r in df.collect()) == ["ERR one", "WARN two"]
+
+
+def test_json_nested_schema_and_log_merge(spark, tmp_path):
+    """Nested DDL types parse correctly, and a json 'log' object merges
+    INTO the harvester envelope instead of colliding with it."""
+    (tmp_path / "a.log").write_text(
+        '{"k": 1, "m": {"x": 2}, "log": {"level": "warn"}}\n')
+    df = read_log_files(
+        spark, str(tmp_path), glob="*.log",
+        json={"keys_under_root": True},
+        json_schema="k int, m map<string,int>, log struct<level:string>",
+    )
+    row = df.collect()[0]
+    assert row["k"] == 1 and row["m"]["x"] == 2
+    assert row["log"]["level"] == "warn"
+    assert row["log"]["file"]["path"].endswith("a.log")
+    assert row["log"]["offset"] == 0

@@ -87,8 +87,15 @@ def _ip6_words(col: Column) -> Column:
             F.lower(F.conv(v4l.bitwiseAND(F.lit(0xFFFF)).cast("string"), 10, 16)),
         )
     )
-    shape_ok = s.rlike(r"^[0-9a-f:]+$") & ~s.contains(":::") & (
-        F.size(F.split(s, "::")) <= 2
+    # a single leading/trailing ':' (not part of '::') is invalid per
+    # net.ParseIP (':1:2:3:4:5:6:7:8'), but the empty-group filter below
+    # would otherwise silently accept it as 8 words
+    shape_ok = (
+        s.rlike(r"^[0-9a-f:]+$")
+        & ~s.contains(":::")
+        & (F.size(F.split(s, "::")) <= 2)
+        & ~s.rlike(r"^:[^:]")
+        & ~s.rlike(r"[^:]:$")
     )
     parts = F.split(s, "::")
     has_dc = F.size(parts) == 2

@@ -75,18 +75,27 @@ def _writable(parent: Column, t: T.StructType) -> Column:
 
 
 def _set_nested(parent: Column, parent_type: T.StructType, parts: list[str], value: Column) -> Column:
+    orig = parent
     parent = _writable(parent, parent_type)
     name = parts[0]
     if len(parts) == 1:
-        return parent.withField(_quote(name), value)
-    child_t = parent_type[name].dataType if name in parent_type.fieldNames() else None
-    if isinstance(child_t, T.StructType):
-        return parent.withField(
-            _quote(name), _set_nested(parent.getField(name), child_t, parts[1:], value)
-        )
-    # child missing (or a scalar being overwritten): build the chain fresh,
-    # matching MapStr.Put which creates intermediate maps (mapstr.go:462-478).
-    return parent.withField(_quote(name), _fresh_struct(parts[1:], value))
+        out = parent.withField(_quote(name), value)
+    else:
+        child_t = parent_type[name].dataType if name in parent_type.fieldNames() else None
+        if isinstance(child_t, T.StructType):
+            out = parent.withField(
+                _quote(name), _set_nested(parent.getField(name), child_t, parts[1:], value)
+            )
+        else:
+            # child missing (or a scalar being overwritten): build the chain
+            # fresh, matching MapStr.Put which creates intermediate maps
+            # (mapstr.go:462-478).
+            out = parent.withField(_quote(name), _fresh_struct(parts[1:], value))
+    # Conditional processors write when(cond, v).otherwise(old NULL); rows the
+    # processor left untouched must keep parent=NULL instead of flipping to an
+    # all-null struct (MapStr.Put only creates intermediates for events the
+    # processor actually ran on).
+    return F.when(orig.isNull() & value.isNull(), F.lit(None)).otherwise(out)
 
 
 def with_path(df: DataFrame, path: str, value: Column) -> DataFrame:
@@ -98,10 +107,33 @@ def with_path(df: DataFrame, path: str, value: Column) -> DataFrame:
     if root in df.schema.fieldNames():
         root_t = df.schema[root].dataType
         if isinstance(root_t, T.StructType):
-            return df.withColumn(root, _set_nested(F.col(_quote(root)), root_t, parts[1:], value))
+            # Stage the value as a temp column first: _set_nested references
+            # it at every nesting level (leaf write + NULL-restore guard), and
+            # inlining a large expression tree that many times blows up
+            # codegen. As an attribute reference it stays cheap, and
+            # CollapseProject (SPARK-36718) won't re-inline an expensive
+            # multi-referenced alias.
+            tmp = "__with_path_value__"
+            staged = df.withColumn(tmp, value)
+            out = staged.withColumn(
+                root,
+                _set_nested(F.col(_quote(root)), root_t, parts[1:], F.col(tmp)),
+            )
+            return out.drop(tmp)
         # scalar root being turned into an object — MapStr.Put would error;
         # we overwrite (documented divergence, keeps the plan total).
-    return df.withColumn(root, _fresh_struct(parts[1:], value))
+    # Fresh root: keep it NULL on rows the processor left untouched (leaf
+    # value NULL) instead of materializing an all-null struct — same
+    # MapStr.Put fidelity as above, same staging trick for codegen size.
+    tmp = "__with_path_value__"
+    staged = df.withColumn(tmp, value)
+    vref = F.col(tmp)
+    out = staged.withColumn(
+        root,
+        F.when(vref.isNull(), F.lit(None))
+        .otherwise(_fresh_struct(parts[1:], vref)),
+    )
+    return out.drop(tmp)
 
 
 def drop_path(df: DataFrame, path: str) -> DataFrame:

@@ -72,6 +72,30 @@ def add_files_sql(catalog: str, namespace: str, table: str,
     )
 
 
+def select_snapshot_range(snaps: list[IcebergSnapshot],
+                          snapshot_ids: list[str],
+                          table: str) -> list[IcebergSnapshot]:
+    """Resolve requested snapshot ids against table history for a range
+    read. Raises on ids not in history (e.g. rolled-back / expired — a
+    silent range read could replay other runs' data) and on non-contiguous
+    requests (the incremental scan replays everything between the
+    endpoints, so gaps would be replayed without being requested)."""
+    wanted = [s for s in snaps if s.snapshot_id in set(snapshot_ids)]
+    missing = set(snapshot_ids) - {s.snapshot_id for s in wanted}
+    if missing:
+        raise ValueError(
+            f"table {table!r}: unknown snapshot ids {sorted(missing)}")
+    if not wanted:
+        raise ValueError(f"table {table!r}: no matching snapshots")
+    for prev, cur in zip(wanted, wanted[1:]):
+        if cur.parent_id != prev.snapshot_id:
+            raise ValueError(
+                f"table {table!r}: requested snapshots are not a "
+                f"contiguous history run ({prev.snapshot_id} -> "
+                f"{cur.snapshot_id} skips intermediate snapshots)")
+    return wanted
+
+
 def rollback_sql(catalog: str, namespace: str, table: str,
                  snapshot_id: str) -> str:
     t = f"{namespace}.{table}"
@@ -245,10 +269,8 @@ class IcebergCatalog:
         # REJECTS end-snapshot-id without start-snapshot-id, so a range
         # starting at the table's first snapshot reads as-of the end
         # snapshot instead (equivalent for append-only history).
-        snaps = self.snapshots(table)
-        wanted = [s for s in snaps if s.snapshot_id in set(snapshot_ids)]
-        if not wanted:
-            raise ValueError(f"table {table!r}: no matching snapshots")
+        wanted = select_snapshot_range(
+            self.snapshots(table), snapshot_ids, table)
         start = wanted[0].parent_id
         reader = self.spark.read.format("iceberg")
         if start is not None:

@@ -41,6 +41,17 @@ def _u8(n: Column) -> Column:
     return F.unhex(F.lpad(F.hex(n.cast("int")), 2, "0"))
 
 
+def _gate(n: Column, hi: int) -> Column:
+    """NULL out values outside [0, hi]: lpad TRUNCATES longer strings, so a
+    port > 65535 (hex '10000' -> '1000') or a negative value (two's-complement
+    hex) would silently produce wrong bytes and a plausible-but-wrong
+    community id, where the reference's uint16/uint8 types can never see such
+    input. Applied to the raw input columns (cheap attribute refs) rather
+    than inside _u16be/_u8, where the guard would triplicate the large
+    sorted-endpoint CASE subtrees and blow up codegen."""
+    return F.when((n >= 0) & (n <= hi), n)
+
+
 def _ip_bytes(ip: Column) -> Column:
     """network-byte-order address bytes: 4 for IPv4 (getRawIP's To4
     normalization), 16 for IPv6. Invalid addresses (octets > 255,
@@ -98,19 +109,19 @@ def community_id(cfg: dict[str, Any]) -> Stage:
             proto_map = F.create_map(
                 *[F.lit(x) for kv in PROTO_NUMBERS.items() for x in kv]
             )
-            proto = F.coalesce(
+            proto = _gate(F.coalesce(
                 col_or_null(iana_f, "int"), proto_map[proto_name]
-            )
+            ), 0xFF)
             src_ip, dst_ip = col_or_null(src_ip_f, "string"), col_or_null(dst_ip_f, "string")
-            sp = col_or_null(src_p_f, "int")
-            dp = col_or_null(dst_p_f, "int")
+            sp = _gate(col_or_null(src_p_f, "int"), 0xFFFF)
+            dp = _gate(col_or_null(dst_p_f, "int"), 0xFFFF)
 
             is_icmp4, is_icmp6 = proto == 1, proto == 58
             # a flow is hashed even when ICMP type/code are unavailable:
             # both default to 0 unless BOTH are present
             # (communityid.go:173-179 "Return a flow even if...")
-            raw_t = col_or_null(icmp_t_f, "int")
-            raw_c = col_or_null(icmp_c_f, "int")
+            raw_t = _gate(col_or_null(icmp_t_f, "int"), 0xFF)
+            raw_c = _gate(col_or_null(icmp_c_f, "int"), 0xFF)
             both = raw_t.isNotNull() & raw_c.isNotNull()
             icmp_t = F.when(both, raw_t).otherwise(F.lit(0))
             icmp_c = F.when(both, raw_c).otherwise(F.lit(0))
@@ -122,7 +133,26 @@ def community_id(cfg: dict[str, Any]) -> Stage:
                 is_icmp4 | is_icmp6, F.coalesce(equiv, icmp_c)
             ).otherwise(dp)
 
-            sb, db = _ip_bytes(src_ip), _ip_bytes(dst_ip)
+            # Stage the big subtrees (the IPv6 parse inside _ip_bytes and
+            # the icmp-equiv port CASEs) as temp columns: the sort/select
+            # below references each of them several times, and inlining
+            # them that many times blows up codegen. As attribute refs the
+            # downstream expressions stay tiny (CollapseProject keeps
+            # expensive multi-referenced aliases staged, SPARK-36718).
+            tp = "__cid_"
+            df = df.withColumns({
+                tp + "proto": proto,
+                tp + "sp": sp,
+                tp + "dp": dp,
+                tp + "sb": _ip_bytes(src_ip),
+                tp + "db": _ip_bytes(dst_ip),
+                tp + "oneway": one_way,
+            })
+            proto = F.col(tp + "proto")
+            sp, dp = F.col(tp + "sp"), F.col(tp + "dp")
+            sb, db = F.col(tp + "sb"), F.col(tp + "db")
+            one_way = F.col(tp + "oneway")
+
             # bytes.Compare via hex strings (lexicographic hex == byte order;
             # equal lengths within one address family)
             sh, dh = F.hex(sb), F.hex(db)
@@ -142,6 +172,8 @@ def community_id(cfg: dict[str, Any]) -> Stage:
                 portful, F.concat(head, _u16be(a_p), _u16be(b_p))
             ).otherwise(head)
             cid = F.concat(F.lit("1:"), F.base64(F.unhex(F.sha1(payload))))
-            return with_path(df, target, cid)
+            out = with_path(df, target, cid)
+            return out.drop(*[tp + c for c in
+                              ("proto", "sp", "dp", "sb", "db", "oneway")])
 
     return CommunityID()

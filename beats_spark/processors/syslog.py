@@ -23,7 +23,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from beats_spark.event import append_flag, get_path
+from beats_spark.event import append_flag, get_path, has_path, with_path
 from beats_spark.processors.base import Stage, register
 
 # <PRI>MMM dd HH:mm:ss HOST TAG[PID]: MSG       (rfc3164_parser.go)
@@ -120,10 +120,15 @@ def syslog(cfg: dict[str, Any]) -> Stage:
             df = df.withColumn(target, payload)
             df = append_flag(df, "syslog_parsing_error", cond=~ok)
             if not ignore_failure:
-                df = df.withColumn(
-                    "error",
-                    F.when(~ok, F.struct(
-                        F.lit("syslog parse failure").alias("message"))),
+                # preserve an earlier processor's error.message on rows that
+                # parsed fine (same pattern as grok.py/dissect.py)
+                prev_err = (get_path(df, "error.message")
+                            if has_path(df.schema, "error.message")
+                            else F.lit(None).cast("string"))
+                df = with_path(
+                    df, "error.message",
+                    F.when(~ok, F.lit("syslog parse failure"))
+                    .otherwise(prev_err),
                 )
             return df
 

@@ -128,3 +128,19 @@ def test_network_ipv6(spark):
     assert ips({"network": {"ip": "1:2:3:4:5:6:7:8"}}) == ["1:2:3:4:5:6:7:8"]
     # ipv4 rules never match ipv6 values and vice versa
     assert ips({"network": {"ip": "192.168.0.0/16"}}) == []
+
+
+def test_network_ipv6_single_colon_invalid(spark):
+    """A single leading/trailing ':' (not part of '::') is invalid per
+    net.ParseIP; the empty-group filter must not silently accept it."""
+    from beats_spark.conditions import compile_condition
+
+    rows = [(":1:2:3:4:5:6:7:8",), ("1:2:3:4:5:6:7:8:",), (":fd12:3456::1",),
+            ("1:2:3:4:5:6:7:8",), ("::1",)]
+    df = spark.createDataFrame(rows, "ip string")
+    got = sorted(r["ip"] for r in df.filter(
+        compile_condition(df, {"network": {"ip": "1:2:3:4:5:6:7:8"}})).collect())
+    assert got == ["1:2:3:4:5:6:7:8"]
+    got = sorted(r["ip"] for r in df.filter(
+        compile_condition(df, {"network": {"ip": "private"}})).collect())
+    assert got == []

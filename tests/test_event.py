@@ -59,3 +59,21 @@ def test_add_tags_and_flags(spark):
     assert df.collect()[0]["log"]["flags"] == ["truncated"]
     df2 = append_flag(df, "x", cond=F.col("id") == 99)
     assert df2.collect()[0]["log"]["flags"] == ["truncated"]
+
+
+def test_with_path_untouched_rows_keep_null_parent(spark):
+    """A conditional write (when(cond, v).otherwise(old NULL)) must not
+    flip untouched rows from parent=NULL to an all-null struct — MapStr.Put
+    only creates intermediates for events the processor actually ran on."""
+    df = spark.createDataFrame([(1, "hit"), (2, "miss")], "id int, k string")
+    df = with_path(df, "p.x", F.when(F.col("k") == "never", F.lit("v")))
+    assert df.collect()[0]["p"] is None  # no row matched: parent stays NULL
+    df2 = spark.createDataFrame(
+        [(1, "hit", None), (2, "miss", None)],
+        "id int, k string, p struct<x:string>")
+    df2 = with_path(df2, "p.y",
+                    F.when(F.col("k") == "hit", F.lit("v"))
+                    .otherwise(get_path(df2, "p.y")))
+    rows = {r["id"]: r["p"] for r in df2.collect()}
+    assert rows[1]["y"] == "v"
+    assert rows[2] is None

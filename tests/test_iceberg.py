@@ -13,6 +13,7 @@ from beats_spark.iceberg import (
     rollback_sql,
     rollback_target,
     run_snapshots,
+    select_snapshot_range,
     snapshots_sql,
 )
 
@@ -66,3 +67,24 @@ def test_incomplete_run_arithmetic():
         "lineage": {"r1", "r3"},
     }
     assert incomplete_run_ids(per_table, per_table["lineage"]) == {"r2"}
+
+
+def test_select_snapshot_range_contiguous():
+    snaps = [snap("1", "a", None), snap("2", "a", "1"),
+             snap("3", "b", "2"), snap("4", "b", "3")]
+    got = select_snapshot_range(snaps, ["2", "3"], "t")
+    assert [s.snapshot_id for s in got] == ["2", "3"]
+
+
+def test_select_snapshot_range_unknown_id_raises():
+    snaps = [snap("1", "a", None), snap("2", "a", "1")]
+    with pytest.raises(ValueError, match="unknown snapshot ids"):
+        select_snapshot_range(snaps, ["2", "99"], "t")
+
+
+def test_select_snapshot_range_gap_raises():
+    # requesting 1 and 3 would silently replay 2 (another run's snapshot)
+    # under a start..end incremental read — must raise instead
+    snaps = [snap("1", "a", None), snap("2", "b", "1"), snap("3", "a", "2")]
+    with pytest.raises(ValueError, match="not a contiguous"):
+        select_snapshot_range(snaps, ["1", "3"], "t")

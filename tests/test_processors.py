@@ -569,6 +569,22 @@ def test_community_id_missing_fields_null(spark):
     assert out[0]["network"]["community_id"] is None
 
 
+def test_community_id_out_of_range_null(spark):
+    """Out-of-range ports/proto (impossible for the reference's uint16/uint8
+    types) must yield a NULL id, not a truncated-hex plausible one."""
+    df = spark.createDataFrame(
+        [(("1.2.3.4", 70000), ("5.6.7.8", 80), ("tcp",)),
+         (("1.2.3.4", -1), ("5.6.7.8", 80), ("tcp",)),
+         (("1.2.3.4", 1234), ("5.6.7.8", 80), ("tcp",))],
+        "source struct<ip:string, port:int>, "
+        "destination struct<ip:string, port:int>, "
+        "network struct<transport:string>")
+    out = run_df(spark, df, [{"community_id": {}}]).collect()
+    assert out[0]["network"]["community_id"] is None
+    assert out[1]["network"]["community_id"] is None
+    assert out[2]["network"]["community_id"] is not None
+
+
 def test_registered_domain(spark):
     """eTLD+1 via broadcast suffix join (publicsuffix.EffectiveTLDPlusOne
     semantics): longest rule, multi-label suffixes, domains that ARE a
@@ -839,3 +855,21 @@ def test_fingerprint_stable_across_session_timezone(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert utc == la
+
+
+def test_syslog_preserves_prior_error(spark):
+    """ignore_failure=False must not clobber an earlier processor's
+    error.message on rows that parsed fine (grok/dissect pattern)."""
+    df = spark.createDataFrame(
+        [("<34>Oct 11 22:14:15 host app: ok", "earlier failure"),
+         ("not syslog at all", None)],
+        "message string, prior string")
+    from beats_spark.event import with_path as wp
+    df = wp(df, "error.message", F.col("prior"))
+    out = run_df(spark, df.drop("prior"),
+                 [{"syslog": {"format": "rfc3164", "ignore_failure": False}}])
+    rows = out.select("message", "error.message").collect()
+    by_msg = {r["message"]: r["error"] if "error" in r else r[1] for r in rows}
+    got = {r[0]: r[1] for r in rows}
+    assert got["<34>Oct 11 22:14:15 host app: ok"] == "earlier failure"
+    assert got["not syslog at all"] == "syslog parse failure"

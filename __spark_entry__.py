@@ -643,14 +643,18 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → mapInPandas feature extraction
-    (decode stubbed deterministically; rows-only)."""
+    (decode stubbed deterministically). payload_mode='poly' synthesizes the
+    payload with DuckDB-expressible arithmetic, so the byte-fold feature has
+    a value-level oracle; f0 is rounded to 4 dp in both engines to absorb
+    the float32 feature storage."""
     from beats_spark.ml import multimodal
 
     _prep(spark)
-    media = multimodal.synthesize_media(spark, 200)
+    media = multimodal.synthesize_media(spark, 200, payload_mode="poly")
     out = multimodal.extract_features(media)
-    return out.select("media_id", "kind", "decode_ok",
-                      F.element_at("feature", 1).alias("f0"))
+    return out.select(
+        "media_id", "kind", "decode_ok",
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"))
 
 
 # ---------------------------------------------------------------------------
@@ -1164,6 +1168,31 @@ def oracle_sql() -> dict[str, str]:
                    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
                    ELSE 'es' END AS lang_guess
             FROM h
+        """,
+        # byte-fold feature over the poly-mode payload: ascii codes folded
+        # into 16 position-mod buckets, L2-normalized; f0 = bucket0/norm.
+        # Zero padding in the Spark fold adds 0 to every bucket sum, so the
+        # unpadded DuckDB sums are identical.
+        "multimodal_features": f"""
+            WITH m AS (
+              SELECT id,
+                     'blob:' || CAST((id * 2654435761) % 2147483647 AS VARCHAR)
+                     || ':' || repeat(CAST(((id + 13) * 1103515245 + 12345)
+                                           % 2147483647 AS VARCHAR), 8) AS p
+              FROM range(200) t(id)),
+            s AS (SELECT id, {', '.join(
+                f"list_sum(list_transform(string_split(p, ''), (x, i) -> "
+                f"CASE WHEN (i - 1) % 16 = {k} THEN ascii(x) ELSE 0 END)) AS s{k}"
+                for k in range(16))}
+                  FROM m)
+            SELECT id AS media_id,
+                   CASE WHEN id % 3 = 0 THEN 'image'
+                        WHEN id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   TRUE AS decode_ok,
+                   round(CAST(s0 AS DOUBLE) / sqrt({' + '.join(
+                       f"CAST(s{k} AS DOUBLE) * s{k}" for k in range(16))}), 4) AS f0
+            FROM s
         """,
         "doc_fingerprint": f"""
             WITH w AS (SELECT doc_id, {toks} AS toks FROM documents)

@@ -44,20 +44,42 @@ _FEATURES_FIELDS = "media_id long, kind string, feature array<float>, decode_ok 
 _FRAMES_FIELDS = ("media_id long, frame_idx int, frame_payload binary")
 
 
-def synthesize_media(spark: SparkSession, n: int = 200) -> DataFrame:
+POLY_P = 2_147_483_647  # same modulus as ml.dedup's portable poly hashes
+
+
+def synthesize_media(spark: SparkSession, n: int = 200,
+                     payload_mode: str = "xx") -> DataFrame:
     """Deterministic fake media table: payload bytes are a hash-seeded
-    byte string; metadata is consistent with the kind."""
+    byte string; metadata is consistent with the kind.
+
+    ``payload_mode='xx'`` (default) seeds the payload with xxhash64;
+    ``'poly'`` uses modular integer arithmetic instead, so the payload —
+    and therefore the byte-fold feature downstream — is reproducible in
+    ANSI SQL / DuckDB and the feature extraction gets a value-level oracle
+    (the same playbook as ml.dedup's hash='poly' modes)."""
     df = spark.range(n)
     kind = (
         F.when(F.col("id") % 3 == 0, "image")
         .when(F.col("id") % 3 == 1, "audio")
         .otherwise("video")
     )
-    payload = F.encode(
-        F.concat(F.lit("blob:"), F.hex(F.xxhash64("id")), F.lit(":"),
-                 F.repeat(F.hex(F.xxhash64("id", F.lit(7))), 8)),
-        "utf-8",
-    )
+    if payload_mode == "poly":
+        h1 = F.pmod(F.col("id") * F.lit(2654435761), F.lit(POLY_P))
+        h2 = F.pmod((F.col("id") + 13) * F.lit(1103515245) + 12345,
+                    F.lit(POLY_P))
+        payload = F.encode(
+            F.concat(F.lit("blob:"), h1.cast("string"), F.lit(":"),
+                     F.repeat(h2.cast("string"), 8)),
+            "utf-8",
+        )
+    elif payload_mode == "xx":
+        payload = F.encode(
+            F.concat(F.lit("blob:"), F.hex(F.xxhash64("id")), F.lit(":"),
+                     F.repeat(F.hex(F.xxhash64("id", F.lit(7))), 8)),
+            "utf-8",
+        )
+    else:
+        raise ValueError(f"synthesize_media: unknown payload_mode {payload_mode!r}")
     return df.select(
         F.col("id").alias("media_id"),
         kind.alias("kind"),

@@ -197,6 +197,24 @@ def test_multimodal_features_and_frames(spark):
     assert [r["width"] for r in img] == [64]
 
 
+def test_multimodal_poly_payload_mode(spark):
+    """payload_mode='poly' (the DuckDB-oracle-portable payload synthesis)
+    keeps the exact same downstream contract as 'xx'; against an independent
+    numpy re-derivation of the payload text and byte-fold."""
+    import numpy as np
+
+    media = multimodal.synthesize_media(spark, 30, payload_mode="poly")
+    feats = multimodal.extract_features(media).toPandas().sort_values("media_id")
+    for mid, feat in zip(feats["media_id"], feats["feature"]):
+        h1 = (mid * 2654435761) % 2147483647
+        h2 = ((mid + 13) * 1103515245 + 12345) % 2147483647
+        p = f"blob:{h1}:" + str(h2) * 8
+        want = multimodal._fake_feature(p.encode())
+        assert np.allclose(np.array(feat, dtype=np.float32), want)
+    with pytest.raises(ValueError, match="payload_mode"):
+        multimodal.synthesize_media(spark, 5, payload_mode="nope")
+
+
 @pytest.mark.parametrize("hash_mode", ["poly"])
 def test_minhash_lsh_poly_mode(docs, hash_mode):
     """hash='poly' (the DuckDB-oracle-portable permutation family) keeps

@@ -535,14 +535,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs; hash='poly' (62-bit dual polynomial hash)
-    gives the signature+bucket+Hamming pipeline a DuckDB oracle."""
+    """SimHash near-dup pairs via the Manku et al. permutation-table
+    candidate generation (20 tables keyed on 3-of-6 block combinations,
+    ~2^32-value keys — scale-sane AND recall-exact at hamming <= 3, so the
+    brute-force pair set IS the oracle). hash='poly' keeps the signature
+    DuckDB-reproducible."""
     from beats_spark.ml.dedup import simhash_pairs
 
     _prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
         spark.sparkContext.defaultParallelism)
-    return simhash_pairs(docs, max_hamming=12, prefix_bits=4, hash="poly")
+    return simhash_pairs(docs, max_hamming=3, hash="poly")
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1036,8 +1039,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SimHash 'poly' replica: one polynomial token hash, then a ±1 vote
         # per bit from an independent universal hash (a_i·h+b_i mod P ≥ P/2)
-        # via unnest × range(64); pack sign bits, bucket on the top 4 bits,
-        # exact Hamming ≤ 12
+        # via unnest × range(64); pack sign bits. The Spark side's
+        # permutation-table candidate generation is recall-EXACT at the
+        # hamming budget (pigeonhole over 3-of-6 block combos), so the
+        # oracle is the full brute-force pair set — any missed pair fails
+        # the hash compare.
         "dedup_simhash": f"""
             WITH w AS (SELECT doc_id, {toks} AS toks FROM documents),
             tok AS (SELECT doc_id, unnest(toks) AS t FROM w),
@@ -1069,12 +1075,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    bit_count(xor(a.sim, b.sim)) AS hamming
-            -- arithmetic >> then & 15 equals Spark's shiftrightunsigned
-            -- for a 4-bit prefix, sign bit included
-            FROM sim a JOIN sim b
-              ON ((a.sim >> 60) & 15) = ((b.sim >> 60) & 15)
-              AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.sim, b.sim)) <= 12
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
         """,
         # hyperplane-LSH ANN 'poly' replica: bucket both corpus and query
         # with the same deterministic planes, probe Hamming ≤ 3, exact

@@ -371,11 +371,24 @@ def simhash_pairs(
     max_hamming: int = 3,
     prefix_bits: int = 16,
     hash: str = "xx",
+    candidates: str = "perm",
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
-    (docs within hamming<=k usually share a 16-bit prefix when k is small;
-    production would use the standard 4-table permutation trick — same
-    join shape, 4× the buckets), verify with exact Hamming distance.
+    """Near-dup pairs by SimHash with EXACT recall at ``max_hamming``.
+
+    ``candidates='perm'`` (default) is the Manku/Jain/Das Sarma WWW'07
+    permutation-table construction: split the 64-bit signature into B
+    blocks; any pair within hamming k agrees exactly on >= B-k blocks
+    (pigeonhole), so keying candidate tables on every combination of
+    c = B-k blocks finds EVERY such pair. Default B = k+3 gives the paper's
+    classic k=3 config: C(6,3) = 20 tables keyed on ~32 bits — candidate
+    joins over a ~2^32 key space, no recall loss. Implemented as one
+    posexplode over the C(B,c) table keys + a (table, key) self-join;
+    the exploded rows carry only (id, sim, key).
+
+    ``candidates='prefix'`` keeps the cheaper-but-lossy variant: bucket on
+    the top ``prefix_bits`` bits (docs within small hamming usually share
+    the prefix, but a flipped prefix bit loses the pair).
 
     The signature is computed relationally — explode tokens, 64 codegen'd
     conditional-sum aggregates (one per bit), pack the sign bits — instead
@@ -424,17 +437,69 @@ def simhash_pairs(
         .join(sims, "__id", "left")
         .select("__id", F.coalesce("__sim", F.lit(0).cast("long")).alias("__sim"))
     )
-    bucket = F.shiftrightunsigned(F.col("__sim"), 64 - prefix_bits)
-    base = base.withColumn("__bkt", bucket)
-    a, b = base.alias("a"), base.alias("b")
+    if candidates == "prefix":
+        bucket = F.shiftrightunsigned(F.col("__sim"), 64 - prefix_bits)
+        base = base.withColumn("__bkt", bucket)
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            a.join(b, (F.col("a.__bkt") == F.col("b.__bkt")) & (F.col("a.__id") < F.col("b.__id")))
+            .select(
+                F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"),
+                hamming64(F.col("a.__sim"), F.col("b.__sim")).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    if candidates != "perm":
+        raise ValueError(f"simhash_pairs: unknown candidates mode {candidates!r}")
+
+    import itertools
+
+    k = max_hamming
+    nb = n_blocks if n_blocks is not None else min(k + 3, 64)
+    if not (k < nb <= 64):
+        raise ValueError(
+            f"simhash_pairs: need max_hamming < n_blocks <= 64 "
+            f"(got k={k}, B={nb})")
+    c = nb - k
+    # block layout over the 64-bit signature (widths differ by <=1)
+    w, r = divmod(bits, nb)
+    blocks: list[tuple[int, int]] = []
+    off = 0
+    for i in range(nb):
+        wi = w + (1 if i < r else 0)
+        blocks.append((off, wi))
+        off += wi
+
+    def key_expr(combo: tuple[int, ...]) -> Column:
+        key = None
+        shift = 0
+        for bi in combo:
+            o, wi = blocks[bi]
+            piece = F.shiftrightunsigned(F.col("__sim"), o).bitwiseAND(
+                F.lit((1 << wi) - 1))
+            piece = piece * F.lit(1 << shift)
+            key = piece if key is None else key + piece
+            shift += wi
+        return key
+
+    combos = list(itertools.combinations(range(nb), c))
+    keys = F.array(*[key_expr(cb) for cb in combos])
+    cand = base.select(
+        "__id", "__sim", F.posexplode(keys).alias("__tbl", "__key"))
+    a, b = cand.alias("a"), cand.alias("b")
     return (
-        a.join(b, (F.col("a.__bkt") == F.col("b.__bkt")) & (F.col("a.__id") < F.col("b.__id")))
+        a.join(b, (F.col("a.__tbl") == F.col("b.__tbl"))
+               & (F.col("a.__key") == F.col("b.__key"))
+               & (F.col("a.__id") < F.col("b.__id")))
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
             hamming64(F.col("a.__sim"), F.col("b.__sim")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        # a pair can collide in several tables; pairs are tiny post-filter
+        .distinct()
     )
 
 

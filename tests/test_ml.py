@@ -253,3 +253,33 @@ def test_lsh_topk_poly_mode(emb):
                                  exclude_id=0, coef_hash="poly").toPandas()
     overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
     assert overlap >= 6
+
+
+def test_simhash_perm_recall_exact_vs_brute_force(docs):
+    """The permutation-table candidate generation is recall-EXACT by
+    pigeonhole: at max_hamming=12 (B=15 blocks, 3-block combo keys) the
+    pair set must EQUAL the brute-force pair set — no bucket-miss losses,
+    unlike prefix bucketing."""
+    import itertools
+
+    sims = docs.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("sim")).toPandas()
+    by_id = dict(zip(sims["doc_id"], sims["sim"]))
+    want = set()
+    for a, b in itertools.combinations(sorted(by_id), 2):
+        if bin((by_id[a] ^ by_id[b]) & ((1 << 64) - 1)).count("1") <= 12:
+            want.add((a, b))
+    got = dedup.simhash_pairs(docs, max_hamming=12).toPandas()
+    assert set(zip(got["id_a"], got["id_b"])) == want
+    assert len(want) > 0
+    # prefix mode on the same input loses pairs or at best ties
+    pre = dedup.simhash_pairs(docs, max_hamming=12, candidates="prefix",
+                              prefix_bits=16).toPandas()
+    assert set(zip(pre["id_a"], pre["id_b"])) <= want
+
+
+def test_simhash_perm_invalid_config(docs):
+    with pytest.raises(ValueError, match="n_blocks"):
+        dedup.simhash_pairs(docs, max_hamming=8, n_blocks=8)
+    with pytest.raises(ValueError, match="candidates"):
+        dedup.simhash_pairs(docs, candidates="nope")

@@ -994,27 +994,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.12
         """,
-        # MinHash 'poly' replica: shingle char-hash → 64 universal-hash
-        # permutations (a_s·h+b_s mod P) → min per seed → 32 bands of 2 rows
-        # hashed polynomially → bucket join → exact Jaccard ≥ 0.3
+        # MinHash 'poly' replica: token char-hash ONCE → rolling polynomial
+        # shingle hash (K=1000003 mod P, same fold as the Spark zip_with) →
+        # 64 universal-hash permutations (a_s·h+b_s mod P) → min per seed →
+        # 32 bands of 2 rows hashed polynomially → bucket join → exact
+        # Jaccard over the hashed-shingle sets ≥ 0.3
         "dedup_minhash_lsh": f"""
             WITH w AS (SELECT doc_id, {toks} AS toks FROM documents),
+            th AS (SELECT doc_id,
+                     list_transform(toks, t -> {char_poly('t')}) AS th
+                   FROM w),
             sh AS (
               SELECT doc_id,
-                list_distinct([array_to_string(toks[i+1:i+3], ' ')
-                  for i in range(0, len(toks) - 2)]) AS s
-              FROM w WHERE len(toks) >= 3
+                list_distinct([((th[i+1] * 1000003 + th[i+2]) % 2147483647
+                                * 1000003 + th[i+3]) % 2147483647
+                  for i in range(0, len(th) - 2)]) AS s
+              FROM th WHERE len(th) >= 3
             ),
-            hs AS (SELECT doc_id, s,
-                     list_transform(s, t -> {char_poly('t')}) AS h
-                   FROM sh),
             sig AS (
               SELECT doc_id, s,
-                [list_min(list_transform(h,
+                [list_min(list_transform(s,
                    x -> ((((seed * 2 + 1) * 1103515245) % 2147483647) * x
                          + ((seed * 12345 + 7) % 2147483647)) % 2147483647))
                  for seed in range(0, 64)] AS sg
-              FROM hs
+              FROM sh
             ),
             band AS (
               SELECT doc_id, b,

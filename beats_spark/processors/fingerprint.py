@@ -6,14 +6,17 @@ fields sorted+deduped (fingerprint.go:52-55 via StringSet.ToSlice), times
 hashed in UTC rendered with Go's time.String() format, hex encoding default
 (config.go:29-35), hashes md5/sha1/sha256/sha384/sha512/xxhash (hash.go).
 
-All JVM-side: the serialization is a ``concat`` of literals and rendered
-columns; the hash is a built-in (whole-stage codegen, no Python).
+All hashes are Go-byte-exact. md5/sha* are JVM built-ins (whole-stage
+codegen, no Python); ``xxhash`` matches cespare/xxhash (XXH64 seed 0 over
+the serialized UTF-8 bytes, test vector fingerprint_test.go:92) via the
+numpy-vectorized from-scratch XXH64 in xxh64.py, Arrow-batched. The
+``xxhash64`` method is an extra fast variant using Spark's JVM xxhash64
+(seed 42 over Spark's internal encoding — same distribution, different
+bytes; zero Python).
 
-Caveats (documented divergences):
-- ``xxhash64`` uses Spark's xxhash64 (seed 42 over Spark's internal encoding)
-  — NOT byte-compatible with Go cespare/xxhash; same distribution properties.
-- float rendering matches Go ``%v`` for typical values via the shortest
-  round-trip repr; exotic exponent formatting can differ.
+Caveat (documented divergence): float rendering matches Go ``%v`` for
+typical values via the shortest round-trip repr; exotic exponent
+formatting can differ.
 """
 
 from __future__ import annotations
@@ -84,8 +87,19 @@ def hash_column(serialized: Column, method: str, encoding: str) -> Column:
     elif method in ("sha256", "sha384", "sha512"):
         hex_col = F.sha2(serialized, int(method[3:]))
     elif method == "xxhash":
+        # Go-byte-exact: XXH64 seed 0 over the serialized UTF-8 bytes,
+        # rendered as Sum()+hex does (16 lowercase hex chars) — matches
+        # cespare/xxhash (hash.go:57, vector fingerprint_test.go:92).
         if encoding != "hex":
             raise ValueError("xxhash supports hex only")
+        from beats_spark.processors.xxh64 import xxh64_hex_series
+
+        return F.pandas_udf(xxh64_hex_series, returnType="string")(serialized)
+    elif method == "xxhash64":
+        # extra (non-reference) fast variant: Spark's JVM xxhash64, seed 42
+        # over the internal encoding — zero Python, different bytes than Go
+        if encoding != "hex":
+            raise ValueError("xxhash64 supports hex only")
         return F.lower(F.hex(F.xxhash64(serialized)))
     else:
         raise ValueError(f"fingerprint: unknown method {method!r}")

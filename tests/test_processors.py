@@ -249,6 +249,65 @@ def test_fingerprint_methods_and_encodings(spark):
     assert out["fingerprint"] == b64.b32encode(raw).decode()
 
 
+def test_fingerprint_xxhash_go_vectors(spark):
+    """method=xxhash is byte-compatible with Go cespare/xxhash: the
+    reference's own vector (fingerprint_test.go:92, fields field1/field2 of
+    {field1: foo, field2: bar, unused_field: baz}) plus the md5/sha
+    vectors from the same table."""
+    rows = [("foo", "bar", "baz")]
+    schema = "field1 string, field2 string, unused_field string"
+    want = {
+        "md5": "4c45df4792f3ef850c928ec5f5232538",
+        "sha1": "22f76427d626516d3f7a05785165b99617683b22",
+        "sha256": "1208288932231e313b369bae587ff574cd3016a408e52e7128d7bee752674003",
+        "xxhash": "37bc50682fba6686",
+    }
+    for method, fp in want.items():
+        out = run(spark, rows, schema,
+                  [{"fingerprint": {"fields": ["field1", "field2"],
+                                    "method": method}}]).collect()[0]
+        assert out["fingerprint"] == fp, method
+
+
+def test_xxh64_scalar_vs_batch_property():
+    """The numpy-vectorized XXH64 agrees with the scalar spec reference on
+    random byte strings across every length class (empty, <4, <8, <32,
+    stripe boundaries, long), for several seeds."""
+    import random
+
+    import numpy as np
+
+    from beats_spark.processors.xxh64 import xxh64, xxh64_batch
+
+    rng = random.Random(7)
+    lengths = list(range(0, 40)) + [63, 64, 65, 100, 255, 1000, 4097]
+    vals = [bytes(rng.randrange(256) for _ in range(n)) for n in lengths]
+    vals += [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 300)))
+             for _ in range(200)]
+    for seed in (0, 42, 2**63):
+        got = xxh64_batch(vals, seed)
+        want = np.array([xxh64(v, seed) for v in vals], dtype=np.uint64)
+        assert (got == want).all(), seed
+    # spec test vector: XXH64('', 0)
+    assert format(xxh64(b""), "016x") == "ef46db3751d8e999"
+
+
+def test_xxh64_matches_jvm_lz4(spark):
+    """Cross-check the from-scratch XXH64 against the independent
+    lz4-java implementation shipped in Spark's jars (standard XXH64,
+    byte-identical to cespare/xxhash)."""
+    import random
+
+    from beats_spark.processors.xxh64 import xxh64
+
+    h64 = spark._jvm.net.jpountz.xxhash.XXHashFactory.fastestInstance().hash64()
+    rng = random.Random(11)
+    for n in (0, 1, 3, 7, 8, 31, 32, 33, 100):
+        b = bytes(rng.randrange(256) for _ in range(n))
+        want = h64.hash(bytearray(b), 0, n, 0) & ((1 << 64) - 1)
+        assert xxh64(b, 0) == want, n
+
+
 def test_fingerprint_fields_sorted_and_deduped(spark):
     rows = [("a", "b")]
     out1 = run(spark, rows, "x string, y string",

@@ -369,3 +369,73 @@ def urldecode(cfg: dict[str, Any]) -> Stage:
             return out
 
     return UrlDecode()
+
+
+@register("split")
+def split_field(cfg: dict[str, Any]) -> Stage:
+    """Split a string field into an array on a regex separator — the ES
+    ingest ``split`` processor surface (used by filebeat module pipelines,
+    e.g. nginx/access/ingest/pipeline.yml's remote_ip_list split). Pure
+    JVM ``F.split``. Empty leading/trailing fragments (a separator at the
+    string edge) are trimmed like the ingest processor observably does for
+    the module's quoted ip-list inputs.
+    """
+    fld = cfg["field"]
+    sep = cfg["separator"]
+    target = cfg.get("target_field", fld)
+    ignore_missing = cfg.get("ignore_missing", False)
+
+    class Split(Stage):
+        def updates(self, df: DataFrame) -> dict[str, Column]:
+            if not has_path(df.schema, fld):
+                if ignore_missing:
+                    return {}
+                raise ValueError(f"split: missing field {fld!r}")
+            col = get_path(df, fld).cast("string")
+            parts = F.filter(F.split(col, sep), lambda p: p != "")
+            return {target: F.when(col.isNotNull(), parts)}
+
+    return Split()
+
+
+@register("uri_parts")
+def uri_parts(cfg: dict[str, Any]) -> Stage:
+    """Decompose a URI field into ``url.*`` — the ES ingest ``uri_parts``
+    processor surface (module pipelines apply it to the grokked request
+    path). JVM-side via Spark's ``parse_url``; scheme-less inputs (the
+    common access-log case, ``/path?q=1``) are parsed against a synthetic
+    base so PATH/QUERY still resolve.
+    """
+    fld = cfg["field"]
+    target = cfg.get("target_field", "url")
+    keep_original = cfg.get("keep_original", True)
+    ignore_missing = cfg.get("ignore_missing", False)
+
+    class UriParts(Stage):
+        def updates(self, df: DataFrame) -> dict[str, Column]:
+            if not has_path(df.schema, fld):
+                if ignore_missing:
+                    return {}
+                raise ValueError(f"uri_parts: missing field {fld!r}")
+            col = get_path(df, fld).cast("string")
+            has_scheme = col.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+            full = F.when(has_scheme, col).otherwise(
+                F.concat(F.lit("http://__relative__"), col))
+            nullify = lambda c: F.when(c != "", c)  # noqa: E731
+            path = F.parse_url(full, F.lit("PATH"))
+            query = F.parse_url(full, F.lit("QUERY"))
+            host = F.when(has_scheme, F.parse_url(full, F.lit("HOST")))
+            out = {
+                f"{target}.path": nullify(path),
+                f"{target}.query": nullify(query),
+                f"{target}.domain": nullify(host),
+                f"{target}.scheme": F.when(
+                    has_scheme, F.regexp_extract(col, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
+                f"{target}.extension": nullify(
+                    F.regexp_extract(path, r"\.([^./]+)$", 1)),
+            }
+            if keep_original:
+                out[f"{target}.original"] = col
+            return out
+
+    return UriParts()

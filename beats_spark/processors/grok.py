@@ -43,6 +43,37 @@ BUILTIN_PATTERNS: dict[str, str] = {
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")
 
+
+def _neutralize_groups(text: str) -> str:
+    """Rewrite bare ``(`` in literal regex text to ``(?:``.
+
+    Real module patterns (e.g. filebeat nginx access: ``(%{NGINX_HOST} )?``,
+    ``"(-|%{DATA:...})"``) use plain parens for grouping; ES-grok discards
+    such unnamed captures, but our group-index → field mapping would be
+    shifted by them. Escapes (``\\(``) and character classes (``[(]``) are
+    left untouched; already-special groups (``(?:``, ``(?=``…) pass through.
+    """
+    out: list[str] = []
+    i, in_class = 0, False
+    while i < len(text):
+        c = text[i]
+        if c == "\\" and i + 1 < len(text):
+            out.append(text[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(" and text[i + 1:i + 2] != "?":
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
 _GROK_TYPES = {"int": "bigint", "long": "bigint", "float": "double", "double": "double"}
 
 
@@ -62,7 +93,7 @@ def expand_grok(expr: str, definitions: dict[str, str] | None = None,
     out: list[str] = []
     pos = 0
     for m in _GROK_REF.finditer(expr):
-        out.append(expr[pos : m.start()])
+        out.append(_neutralize_groups(expr[pos : m.start()]))
         name, field, typ = m.group(1), m.group(2), m.group(3)
         if name not in defs:
             raise ValueError(f"grok: unknown pattern %{{{name}}}")
@@ -72,12 +103,14 @@ def expand_grok(expr: str, definitions: dict[str, str] | None = None,
             out.append(f"({sub})")
             fields.extend(sub_fields)
         else:
-            # drop inner captures of unnamed refs
-            if sub_fields:
-                raise ValueError(f"grok: unnamed ref %{{{name}}} has named sub-captures")
+            # unnamed ref: non-capturing wrapper, but any NAMED sub-captures
+            # inside it still extract (ES grok semantics — e.g. filebeat
+            # nginx `(%{NGINX_HOST} )?` where NGINX_HOST defines
+            # destination.ip/domain/port)
             out.append(f"(?:{sub})")
+            fields.extend(sub_fields)
         pos = m.end()
-    out.append(expr[pos:])
+    out.append(_neutralize_groups(expr[pos:]))
     return "".join(out), fields
 
 
@@ -92,6 +125,11 @@ def grok(cfg: dict[str, Any]) -> Stage:
     definitions = cfg.get("pattern_definitions")
     anchored = cfg.get("anchor", True)
     ignore_failure = cfg.get("ignore_failure", True)
+    # ES grok leaves non-participating alternation branches MISSING;
+    # regexp_extract yields "" for them. Opt-in conversion ""→NULL for
+    # module-pipeline parity (off by default: a participating %{DATA}
+    # match of the empty string is legitimately "").
+    null_empty = cfg.get("null_empty_captures", False)
 
     regex, fields = expand_grok(pattern, definitions)
     if anchored:
@@ -108,7 +146,10 @@ def grok(cfg: dict[str, Any]) -> Stage:
             matched = col.rlike(regex)
             cols: dict[str, Column] = {}
             for i, (name, typ) in enumerate(fields):
-                v = F.when(matched, F.regexp_extract(col, regex, i + 1))
+                v = F.regexp_extract(col, regex, i + 1)
+                if null_empty:
+                    v = F.nullif(v, F.lit(""))
+                v = F.when(matched, v)
                 if typ:
                     v = v.try_cast(_GROK_TYPES.get(typ, "string"))
                 cols[name] = v

@@ -932,3 +932,70 @@ def test_syslog_preserves_prior_error(spark):
     got = {r[0]: r[1] for r in rows}
     assert got["<34>Oct 11 22:14:15 host app: ok"] == "earlier failure"
     assert got["not syslog at all"] == "syslog parse failure"
+
+
+def test_split_field_regex_separator(spark):
+    out = run(
+        spark, [('a, b" c',), (None,)], "v string",
+        [{"split": {"field": "v", "separator": '"?,?\\s+',
+                    "target_field": "parts"}}],
+    ).collect()
+    got = {r["v"]: r["parts"] for r in out}
+    assert got['a, b" c'] == ["a", "b", "c"]
+    assert got[None] is None
+
+
+def test_split_missing_field(spark):
+    with pytest.raises(ValueError, match="split: missing"):
+        run(spark, [(1,)], "id int", [{"split": {"field": "nope",
+                                                 "separator": ","}}])
+    out = run(spark, [(1,)], "id int",
+              [{"split": {"field": "nope", "separator": ",",
+                          "ignore_missing": True}}]).collect()[0]
+    assert "nope" not in out.asDict()
+
+
+def test_uri_parts_absolute_and_relative(spark):
+    out = run(
+        spark,
+        [("https://api.example.test:8443/v2/users.json?page=2",),
+         ("/healthz",), (None,)],
+        "u string",
+        [{"uri_parts": {"field": "u"}}],
+    ).collect()
+    got = {r["u"]: r["url"] for r in out}
+    absu = got["https://api.example.test:8443/v2/users.json?page=2"]
+    assert absu["scheme"] == "https"
+    assert absu["domain"] == "api.example.test"
+    assert absu["path"] == "/v2/users.json"
+    assert absu["query"] == "page=2"
+    assert absu["extension"] == "json"
+    rel = got["/healthz"]
+    assert rel["path"] == "/healthz" and rel["scheme"] is None
+    assert rel["domain"] is None
+    # NULL input: url parent stays NULL (NULL-parent fidelity — untouched
+    # rows don't materialize an all-null struct)
+    assert got[None] is None
+
+
+def test_grok_bare_groups_do_not_shift_captures(spark):
+    """Literal `(...)` groups in module patterns (nginx access style) must
+    not shift the group→field mapping; unnamed refs still expose their
+    named sub-captures (ES grok semantics)."""
+    out = run(
+        spark,
+        [("host.example.test:80 GET /x", ), ("GET /y", )],
+        "message string",
+        [{"grok": {
+            "pattern": "(%{HOSTPORT} )?%{WORD:method} %{NOTSPACE:path}",
+            "pattern_definitions": {
+                "HOSTPORT": "%{HOSTNAME:host}(:%{NUMBER:port:long})?"},
+            "null_empty_captures": True,
+        }}],
+    ).collect()
+    got = {r["path"]: r for r in out}
+    assert got["/x"]["method"] == "GET"
+    assert got["/x"]["host"] == "host.example.test"
+    assert got["/x"]["port"] == 80
+    assert got["/y"]["method"] == "GET"
+    assert got["/y"]["host"] is None and got["/y"]["port"] is None

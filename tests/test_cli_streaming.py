@@ -132,3 +132,78 @@ def test_streaming_replay_after_partial_commit_is_exactly_once(spark, tmp_path):
     want = pipe.transform(tdf).groupBy("_sink").count().collect()
     for r in want:
         assert cat.read(r["_sink"]).count() == r["count"], r["_sink"]
+
+
+def test_streaming_soak_crash_restart_exactly_once(spark, tmp_path):
+    """Soak: four micro-batches driven one file at a time, a crash induced
+    mid-stream AFTER sink adoption but BEFORE the lineage commit of batch
+    2, then a restart on the same checkpoint and a late fourth batch. The
+    replayed batch must roll back its partial attempt; every sink count
+    must equal the one-shot batch transform at the end — exactly-once
+    across crash + restart + resume."""
+    from beats_spark.pipeline import LINEAGE_TABLE
+
+    chunks = [synthesize_transcripts(spark, n, k)
+              for n, k in ((400, 8), (500, 10), (300, 6))]
+    src = tmp_path / "src"
+    for c in chunks:
+        c.coalesce(1).write.mode("append").parquet(str(src))
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    pipe = Pipeline(spark, fixture_config(), cat)
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream_df():
+        return (spark.readStream.schema(chunks[0].schema)
+                .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+    # crash exactly once, on the THIRD batch's lineage commit (the sinks
+    # for that batch are already adopted at that point)
+    lineage_appends = [0]
+    real_append = cat.append
+
+    def dying_append(df, table, run_id=None):
+        if table == LINEAGE_TABLE:
+            lineage_appends[0] += 1
+            if lineage_appends[0] == 3:
+                raise RuntimeError("induced crash before lineage commit")
+        return real_append(df, table, run_id=run_id)
+
+    cat.append = dying_append
+    q = run_stream(pipe, stream_df(), checkpoint=ckpt)
+    with pytest.raises(Exception):
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise RuntimeError(q.exception().desc)
+    cat.append = real_append
+
+    # two batches committed, one partial
+    committed = {r["run_id"] for r in cat.read(LINEAGE_TABLE)
+                 .select("run_id").distinct().collect()}
+    assert len(committed) == 2
+
+    # restart on the same checkpoint: batch 2 replays (rollback + rerun)
+    q = run_stream(pipe, stream_df(), checkpoint=ckpt)
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    # late fourth chunk, third stream run on the same checkpoint
+    late = synthesize_transcripts(spark, 450, 9)
+    late.coalesce(1).write.mode("append").parquet(str(src))
+    q = run_stream(pipe, stream_df(), checkpoint=ckpt)
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    all_rows = chunks[0]
+    for c in chunks[1:] + [late]:
+        all_rows = all_rows.unionByName(c)
+    want = pipe.transform(all_rows).groupBy("_sink").count().collect()
+    assert want, "fixture config routed nothing"
+    for r in want:
+        assert cat.read(r["_sink"]).count() == r["count"], r["_sink"]
+
+    # one lineage run per micro-batch, all scoped to this checkpoint
+    runs = sorted(r["run_id"] for r in cat.read(LINEAGE_TABLE)
+                  .select("run_id").distinct().collect())
+    assert len(runs) == 4
+    assert all(r.startswith("stream-") for r in runs)

@@ -198,3 +198,14 @@ def append_flag(df: DataFrame, flag: str, cond: Column | None = None,
     else:
         new_val = appended
     return with_path(df, path, new_val)
+
+
+def set_error_message(df: DataFrame, failed: Column, message: str) -> DataFrame:
+    """Set ``error.message`` on failing rows while PRESERVING an earlier
+    processor's message on rows that succeeded (the shared
+    grok/dissect/syslog ``ignore_failure=False`` idiom)."""
+    prev = (get_path(df, "error.message")
+            if has_path(df.schema, "error.message")
+            else F.lit(None).cast("string"))
+    return with_path(df, "error.message",
+                     F.when(failed, F.lit(message)).otherwise(prev))

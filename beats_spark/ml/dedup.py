@@ -83,46 +83,6 @@ def exact_dedup(df: DataFrame, content_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(col: Column, num_hashes: int = 64,
-                      hash: str = "xx") -> Column:
-    """array<bigint> of per-seed min-hashes over the shingle set.
-
-    Each variable-length string shingle is hashed ONCE (see hash_shingles);
-    the ``num_hashes`` permutations then re-hash the fixed 8-byte value with
-    the seed — 64× less string hashing than hashing the shingle text per
-    seed, same minwise-independence properties. Fully JVM-side higher-order
-    functions, no UDF.
-
-    ``hash='xx'`` (default) permutes with xxhash64(h, seed); ``'poly'`` uses
-    the universal-hash family (a_s*h + b_s) mod P with deterministic odd
-    a_s — weaker mixing, but byte-for-byte reproducible in DuckDB for the
-    driver's value-level oracle.
-    """
-    def perm(seed: Column, h: Column) -> Column:
-        if hash == "xx":
-            return F.xxhash64(h, seed)
-        s = seed.cast("long")
-        a = F.pmod((s * 2 + 1) * F.lit(1103515245), F.lit(POLY_P))
-        b = F.pmod(s * 12345 + 7, F.lit(POLY_P))
-        return F.pmod(a * h + b, F.lit(POLY_P))
-
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(col, lambda h: perm(seed, h))
-        ),
-    )
-
-
-def hash_shingles(col: Column, hash: str = "xx") -> Column:
-    """string shingles → int64 hashes; materialize this as its OWN projected
-    column before minhash_signature so the string hashing runs once per row
-    (CollapseProject keeps non-cheap expressions from being inlined 64×)."""
-    if hash == "xx":
-        return F.transform(col, lambda s: F.xxhash64(s))
-    return F.transform(col, lambda s: poly_string_hash(s))
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -146,7 +106,9 @@ def minhash_lsh_pairs(
     sets (set arithmetic is hash-collision-exact at 2^-64 per pair) —
     array_join string allocation was the dominant measured cost of the
     signature pass. hash='poly' mirrors the same shape with portable
-    arithmetic — tokens char-hashed ONCE polynomially, a shingle's hash a
+    31-bit arithmetic, so its verification Jaccard carries a ~s²/2³²
+    per-document shingle-collision probability (negligible below ~10⁴
+    shingles/doc; use 'xx' where that matters) — tokens char-hashed ONCE polynomially, a shingle's hash a
     polynomial fold of its n token hashes (zip_with rolling combine, so the
     token-hash array is evaluated n times per ROW, never per shingle), and
     verification Jaccard over the distinct hashed-shingle sets — every
@@ -186,7 +148,7 @@ def minhash_lsh_pairs(
     ex = base.select("__id", F.explode("__vs").alias("__h"))
 
     # signature via explode + num_hashes codegen'd min-aggregates instead of
-    # the nested higher-order expression (minhash_signature): HOFs run
+    # a nested transform/array_min higher-order expression: HOFs run
     # INTERPRETED (~600 ns/element-op measured), while min() aggs over the
     # exploded hashes stay inside whole-stage codegen — a ~5× faster
     # signature pass. Map-side partial aggregation means the shuffle carries
@@ -484,16 +446,21 @@ def simhash_pairs(
         off += wi
 
     def key_expr(combo: tuple[int, ...]) -> Column:
-        key = None
-        shift = 0
+        # join key = xxhash64 of the combo's block values. Arithmetic
+        # bit-packing would overflow int64 (ANSI abort) whenever the
+        # combined block width exceeds 63 bits (e.g. max_hamming=0 →
+        # c = nb → all 64 bits in one key); a hash key preserves equality
+        # exactly, and the rare hash collision only adds a false CANDIDATE
+        # that the exact hamming filter below removes.
+        pieces = []
         for bi in combo:
             o, wi = blocks[bi]
-            piece = F.shiftrightunsigned(F.col("__sim"), o).bitwiseAND(
-                F.lit((1 << wi) - 1))
-            piece = piece * F.lit(1 << shift)
-            key = piece if key is None else key + piece
-            shift += wi
-        return key
+            mask = (1 << wi) - 1
+            if mask > (1 << 63) - 1:  # wi == 64: all-ones as signed long
+                mask -= 1 << 64
+            pieces.append(
+                F.shiftrightunsigned(F.col("__sim"), o).bitwiseAND(F.lit(mask)))
+        return F.xxhash64(*pieces)
 
     combos = list(itertools.combinations(range(nb), c))
     keys = F.array(*[key_expr(cb) for cb in combos])

@@ -376,9 +376,10 @@ def split_field(cfg: dict[str, Any]) -> Stage:
     """Split a string field into an array on a regex separator — the ES
     ingest ``split`` processor surface (used by filebeat module pipelines,
     e.g. nginx/access/ingest/pipeline.yml's remote_ip_list split). Pure
-    JVM ``F.split``. Empty leading/trailing fragments (a separator at the
-    string edge) are trimmed like the ingest processor observably does for
-    the module's quoted ip-list inputs.
+    JVM ``F.split``, with Java ``String.split`` semantics like the ingest
+    processor: interior and leading empty fragments are KEPT (positional
+    consumers rely on them); only trailing empties are dropped — except a
+    bare empty input, which stays ``[""]``.
     """
     fld = cfg["field"]
     sep = cfg["separator"]
@@ -392,7 +393,18 @@ def split_field(cfg: dict[str, Any]) -> Stage:
                     return {}
                 raise ValueError(f"split: missing field {fld!r}")
             col = get_path(df, fld).cast("string")
-            parts = F.filter(F.split(col, sep), lambda p: p != "")
+            arr = F.split(col, sep)
+            # length of the trailing run of empty fragments
+            trail = F.aggregate(
+                F.reverse(arr),
+                F.struct(F.lit(0).alias("n"), F.lit(False).alias("stop")),
+                lambda acc, x: F.struct(
+                    F.when(~acc["stop"] & (x == ""), acc["n"] + 1)
+                    .otherwise(acc["n"]).alias("n"),
+                    (acc["stop"] | (x != "")).alias("stop")),
+                lambda acc: acc["n"])
+            parts = F.when(col == "", F.array(F.lit(""))).otherwise(
+                F.slice(arr, 1, F.size(arr) - trail))
             return {target: F.when(col.isNotNull(), parts)}
 
     return Split()

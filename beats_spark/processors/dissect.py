@@ -578,14 +578,10 @@ def dissect(cfg: dict[str, Any]) -> Stage:
                     df = df.withColumn(n, v)
             df = append_flag(df, FLAG_PARSING_ERROR, cond=failed)
             if not ignore_failure:
-                from beats_spark.event import with_path
-                prev_err = (get_path(df, "error.message")
-                            if has_path(df.schema, "error.message")
-                            else F.lit(None).cast("string"))
-                err = F.when(
-                    failed, F.lit(f"dissect: parsing failure (tokenizer={tokenizer})")
-                ).otherwise(prev_err)
-                df = with_path(df, "error.message", err)
+                from beats_spark.event import set_error_message
+                df = set_error_message(
+                    df, failed,
+                    f"dissect: parsing failure (tokenizer={tokenizer})")
             return df.drop(tmp) if tmp else df
 
     return Dissect()

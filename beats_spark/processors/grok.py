@@ -178,14 +178,8 @@ def grok(cfg: dict[str, Any]) -> Stage:
             # error.message only without ignore_failure
             df = append_flag(df, "grok_parsing_error", cond=failed)
             if not ignore_failure:
-                prev_err = (get_path(df, "error.message")
-                            if has_path(df.schema, "error.message")
-                            else F.lit(None).cast("string"))
-                df = with_path(
-                    df, "error.message",
-                    F.when(failed, F.lit("grok: no pattern matched"))
-                    .otherwise(prev_err),
-                )
+                from beats_spark.event import set_error_message
+                df = set_error_message(df, failed, "grok: no pattern matched")
             return df
 
     return Grok()

@@ -120,16 +120,8 @@ def syslog(cfg: dict[str, Any]) -> Stage:
             df = df.withColumn(target, payload)
             df = append_flag(df, "syslog_parsing_error", cond=~ok)
             if not ignore_failure:
-                # preserve an earlier processor's error.message on rows that
-                # parsed fine (same pattern as grok.py/dissect.py)
-                prev_err = (get_path(df, "error.message")
-                            if has_path(df.schema, "error.message")
-                            else F.lit(None).cast("string"))
-                df = with_path(
-                    df, "error.message",
-                    F.when(~ok, F.lit("syslog parse failure"))
-                    .otherwise(prev_err),
-                )
+                from beats_spark.event import set_error_message
+                df = set_error_message(df, ~ok, "syslog parse failure")
             return df
 
     return Syslog()

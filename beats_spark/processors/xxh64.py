@@ -95,18 +95,43 @@ def _vround(acc: np.ndarray, lane: np.ndarray) -> np.ndarray:
     return _vrotl(acc + lane * _u2, 31) * _u1
 
 
-def xxh64_batch(values: list[bytes], seed: int = 0) -> np.ndarray:
+def xxh64_batch(values: list[bytes], seed: int = 0,
+                budget_bytes: int = 32 << 20) -> np.ndarray:
     """XXH64 of each byte string, vectorized across the batch.
 
-    Builds one zero-padded [rows, ceil32(max_len)] uint8 matrix, then runs
-    the stripe loop across ALL rows at once with row masks; lane reads use
-    uint64/uint32 views (the 32-byte tail base is always 8- and 4-aligned,
-    so every full lane is a plain aligned view column).
+    Rows are processed in LENGTH-SORTED chunks sized so the dense matrix
+    stays under ``budget_bytes``: a single long outlier in an Arrow batch
+    must not multiply the padded [rows, ceil32(max_len)] allocation by the
+    batch size (10k rows × one 1 MB value would be a ~10 GB buffer), nor
+    make every short row pay the outlier's stripe count.
     """
     nrows = len(values)
     lens = np.fromiter((len(v) for v in values), dtype=np.int64, count=nrows)
     if nrows == 0:
         return np.empty(0, dtype=np.uint64)
+    order = np.argsort(lens, kind="stable")
+    widths = np.maximum(32, (lens[order] + 31) // 32 * 32)
+    out = np.empty(nrows, dtype=np.uint64)
+    start = 0
+    while start < nrows:
+        end = start + 1
+        # rows sorted by length → the chunk's matrix width is its LAST
+        # row's width; grow while the dense allocation fits the budget
+        while end < nrows and (end - start + 1) * widths[end] <= budget_bytes:
+            end += 1
+        idx = order[start:end]
+        out[idx] = _xxh64_dense([values[i] for i in idx], lens[idx], seed)
+        start = end
+    return out
+
+
+def _xxh64_dense(values: list[bytes], lens: np.ndarray,
+                 seed: int = 0) -> np.ndarray:
+    """One zero-padded [rows, ceil32(max_len)] uint8 matrix; the stripe
+    loop runs across ALL rows at once with row masks; lane reads use
+    uint64/uint32 views (the 32-byte tail base is always 8- and 4-aligned,
+    so every full lane is a plain aligned view column)."""
+    nrows = len(values)
     max_len = int(lens.max())
     width = max(32, (max_len + 31) // 32 * 32)
     buf = np.zeros((nrows, width), dtype=np.uint8)

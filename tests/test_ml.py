@@ -283,3 +283,18 @@ def test_simhash_perm_invalid_config(docs):
         dedup.simhash_pairs(docs, max_hamming=8, n_blocks=8)
     with pytest.raises(ValueError, match="candidates"):
         dedup.simhash_pairs(docs, candidates="nope")
+
+
+def test_simhash_perm_wide_key_no_overflow(docs):
+    """max_hamming=0 packs ALL 64 signature bits into one combo key; the
+    hash-based join key must not hit int64 overflow under ANSI mode, and
+    the result must equal brute-force at hamming 0."""
+    import itertools
+
+    got = dedup.simhash_pairs(docs, max_hamming=0).toPandas()
+    sims = docs.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("sim")).toPandas()
+    by_id = dict(zip(sims["doc_id"], sims["sim"]))
+    want = {(a, b) for a, b in itertools.combinations(sorted(by_id), 2)
+            if by_id[a] == by_id[b]}
+    assert set(zip(got["id_a"], got["id_b"])) == want

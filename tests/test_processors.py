@@ -945,6 +945,21 @@ def test_split_field_regex_separator(spark):
     assert got[None] is None
 
 
+def test_split_java_string_split_semantics(spark):
+    """ES ingest split = Java String.split(limit 0): interior and leading
+    empties KEPT, trailing empties dropped, empty input stays [""]."""
+    rows = [("a,,b",), (",a",), ("a,,",), ("",), ("a",)]
+    out = run(spark, rows, "v string",
+              [{"split": {"field": "v", "separator": ",",
+                          "target_field": "parts"}}]).collect()
+    got = {r["v"]: r["parts"] for r in out}
+    assert got["a,,b"] == ["a", "", "b"]
+    assert got[",a"] == ["", "a"]
+    assert got["a,,"] == ["a"]
+    assert got[""] == [""]
+    assert got["a"] == ["a"]
+
+
 def test_split_missing_field(spark):
     with pytest.raises(ValueError, match="split: missing"):
         run(spark, [(1,)], "id int", [{"split": {"field": "nope",
@@ -999,3 +1014,17 @@ def test_grok_bare_groups_do_not_shift_captures(spark):
     assert got["/x"]["port"] == 80
     assert got["/y"]["method"] == "GET"
     assert got["/y"]["host"] is None and got["/y"]["port"] is None
+
+
+def test_xxh64_batch_skewed_lengths_chunked():
+    """A long outlier in a batch must not inflate the dense matrix: the
+    length-sorted chunking path must still match the scalar oracle."""
+    import numpy as np
+
+    from beats_spark.processors.xxh64 import xxh64, xxh64_batch
+
+    vals = [b"x" * n for n in (0, 1, 31, 32, 33, 100)] * 20
+    vals.append(b"y" * 300_000)
+    got = xxh64_batch(vals, budget_bytes=1 << 14)
+    want = np.array([xxh64(v) for v in vals], dtype=np.uint64)
+    assert (got == want).all()

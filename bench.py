@@ -25,11 +25,12 @@ throttled window, and the harness keeps running extra blocks/rounds (up
 to a cap) instead of finalizing numbers from it.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_TURNS (default 16_000_000), BENCH_REPS (default 5/worker),
+BENCH_TURNS (default 16_000_000), BENCH_REPS (default 3/worker,
+early-exit when a rep is within 15% of the best committed min),
 BENCH_LEVELS (default "8,32"), BENCH_SKIP_SCALING=1 to skip scaling,
 BENCH_SKIP_CURVE=1 to skip the two-SF scale curve,
 BENCH_QUERY_REPS/_MAX (default 3/6 headline blocks),
-BENCH_ROUNDS/BENCH_MAX_ROUNDS (default 2/5 scaling rounds),
+BENCH_ROUNDS/BENCH_MAX_ROUNDS (default 2/8 scaling rounds),
 BENCH_WINDOW_FACTOR (default 1.5 — throttle detection threshold).
 """
 
@@ -233,11 +234,12 @@ def _worker(cores: int) -> None:
         },
     )
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    # 5 per worker invocation × BENCH_ROUNDS alternating rounds = 10 samples
-    # per level; more reps per block would lengthen each block past the
-    # host's multi-minute throttle windows, which is what the alternation
-    # exists to average out
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    # short 3-rep blocks sample MORE distinct throttle windows per budget
+    # than long blocks (the alternation's whole point); BENCH_EARLY_SEC
+    # (set by the parent from the best committed min) ends a block as soon
+    # as it has produced one clean steady-state sample
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    early = float(os.environ.get("BENCH_EARLY_SEC", "0"))
     from beats_spark.testdata import synthesize_transcripts
 
     src = tempfile.mkdtemp(prefix=f"bench_src_{cores}_", dir=shm)
@@ -255,6 +257,8 @@ def _worker(cores: int) -> None:
                 times.append(time.perf_counter() - t0)
             finally:
                 shutil.rmtree(out, ignore_errors=True)
+            if early and len(times) >= 2 and min(times) <= early:
+                break
     finally:
         shutil.rmtree(src, ignore_errors=True)
     dt = min(times)
@@ -361,7 +365,7 @@ def main() -> None:
         # a round captured entirely inside a throttle window is detected
         # and never finalized as-is (the r2 lesson)
         min_rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
-        max_rounds = int(os.environ.get("BENCH_MAX_ROUNDS", "5"))
+        max_rounds = int(os.environ.get("BENCH_MAX_ROUNDS", "8"))
         sref = hist["scaling"]
         scaling: dict[int, dict] = {}
         eff = None
@@ -369,9 +373,16 @@ def main() -> None:
         rnd = 0
         while rnd < max_rounds:
             for cores in levels:
+                env = dict(os.environ)
+                if cores in sref:
+                    # worker stops repeating once a rep lands within 15% of
+                    # the best committed min — the block's purpose (one clean
+                    # steady-state sample) is met, and the saved time buys
+                    # more alternation rounds inside the budget
+                    env["BENCH_EARLY_SEC"] = str(sref[cores] * 1.15)
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
-                    capture_output=True, text=True, timeout=3600,
+                    capture_output=True, text=True, timeout=3600, env=env,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
                 lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]

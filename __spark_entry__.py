@@ -648,8 +648,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → mapInPandas feature extraction
     (decode stubbed deterministically). payload_mode='poly' synthesizes the
     payload with DuckDB-expressible arithmetic, so the byte-fold feature has
-    a value-level oracle; f0 is rounded to 4 dp in both engines to absorb
-    the float32 feature storage."""
+    a value-level oracle; both engines quantize f0 through float32 (the
+    feature dtype) before rounding, so the comparison is bit-honest."""
     from beats_spark.ml import multimodal
 
     _prep(spark)
@@ -1195,8 +1195,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN id % 3 = 1 THEN 'audio'
                         ELSE 'video' END AS kind,
                    TRUE AS decode_ok,
-                   round(CAST(s0 AS DOUBLE) / sqrt({' + '.join(
-                       f"CAST(s{k} AS DOUBLE) * s{k}" for k in range(16))}), 4) AS f0
+                   -- CAST .. AS REAL replicates the float32 feature
+                   -- storage on the Spark side (numpy astype(float32)) so
+                   -- BOTH engines round the same quantized value — rounding
+                   -- the exact double instead sits one ulp from a 4 dp
+                   -- boundary for some payloads
+                   round(CAST(CAST(CAST(s0 AS DOUBLE) / sqrt({' + '.join(
+                       f"CAST(s{k} AS DOUBLE) * s{k}" for k in range(16))})
+                       AS REAL) AS DOUBLE), 4) AS f0
             FROM s
         """,
         "doc_fingerprint": f"""

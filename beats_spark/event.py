@@ -98,6 +98,17 @@ def _set_nested(parent: Column, parent_type: T.StructType, parts: list[str], val
     return F.when(orig.isNull() & value.isNull(), F.lit(None)).otherwise(out)
 
 
+def _tmp_name(df: DataFrame) -> str:
+    """Staging-column name guaranteed absent from df (a user column named
+    __with_path_value__ must survive a with_path call untouched)."""
+    name, i = "__with_path_value__", 0
+    existing = set(df.columns)
+    while name in existing:
+        i += 1
+        name = f"__with_path_value_{i}__"
+    return name
+
+
 def with_path(df: DataFrame, path: str, value: Column) -> DataFrame:
     """Set/overwrite a (possibly nested) field; creates intermediates."""
     parts = split_path(path)
@@ -113,7 +124,7 @@ def with_path(df: DataFrame, path: str, value: Column) -> DataFrame:
             # codegen. As an attribute reference it stays cheap, and
             # CollapseProject (SPARK-36718) won't re-inline an expensive
             # multi-referenced alias.
-            tmp = "__with_path_value__"
+            tmp = _tmp_name(df)
             staged = df.withColumn(tmp, value)
             out = staged.withColumn(
                 root,
@@ -125,7 +136,7 @@ def with_path(df: DataFrame, path: str, value: Column) -> DataFrame:
     # Fresh root: keep it NULL on rows the processor left untouched (leaf
     # value NULL) instead of materializing an all-null struct — same
     # MapStr.Put fidelity as above, same staging trick for codegen size.
-    tmp = "__with_path_value__"
+    tmp = _tmp_name(df)
     staged = df.withColumn(tmp, value)
     vref = F.col(tmp)
     out = staged.withColumn(

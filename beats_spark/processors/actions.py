@@ -437,10 +437,24 @@ def uri_parts(cfg: dict[str, Any]) -> Stage:
             path = F.parse_url(full, F.lit("PATH"))
             query = F.parse_url(full, F.lit("QUERY"))
             host = F.when(has_scheme, F.parse_url(full, F.lit("HOST")))
+            # port/user_info only exist in absolute URIs; fragment (REF)
+            # also resolves for relative inputs against the synthetic base
+            authority = F.parse_url(full, F.lit("AUTHORITY"))
+            port = F.when(has_scheme, F.regexp_extract(
+                authority, r":(\d+)$", 1)).try_cast("long")
+            userinfo = F.when(has_scheme,
+                              nullify(F.parse_url(full, F.lit("USERINFO"))))
             out = {
                 f"{target}.path": nullify(path),
                 f"{target}.query": nullify(query),
                 f"{target}.domain": nullify(host),
+                f"{target}.port": port,
+                f"{target}.fragment": nullify(F.parse_url(full, F.lit("REF"))),
+                f"{target}.user_info": userinfo,
+                f"{target}.username": nullify(
+                    F.regexp_extract(userinfo, "^([^:]*)", 1)),
+                f"{target}.password": nullify(
+                    F.regexp_extract(userinfo, "^[^:]*:(.*)$", 1)),
                 f"{target}.scheme": F.when(
                     has_scheme, F.regexp_extract(col, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
                 f"{target}.extension": nullify(

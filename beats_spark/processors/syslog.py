@@ -23,7 +23,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from beats_spark.event import append_flag, get_path, has_path, with_path
+from beats_spark.event import append_flag, get_path
 from beats_spark.processors.base import Stage, register
 
 # <PRI>MMM dd HH:mm:ss HOST TAG[PID]: MSG       (rfc3164_parser.go)

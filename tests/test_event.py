@@ -77,3 +77,14 @@ def test_with_path_untouched_rows_keep_null_parent(spark):
     rows = {r["id"]: r["p"] for r in df2.collect()}
     assert rows[1]["y"] == "v"
     assert rows[2] is None
+
+
+def test_with_path_survives_user_column_named_like_staging(spark):
+    """A user column that collides with the internal staging name must
+    survive a with_path call untouched."""
+    df = spark.createDataFrame(
+        [("keep", "m")], "__with_path_value__ string, message string")
+    out = with_path(df, "a.b", F.lit("x"))
+    row = out.collect()[0]
+    assert row["__with_path_value__"] == "keep"
+    assert row["a"]["b"] == "x"

@@ -155,48 +155,48 @@ def minhash_lsh_pairs(
     # one (id, num_hashes mins) row per doc per partition, the same bytes
     # the signature column would, NOT the exploded rows.
 
-    def perm(seed: int, h: Column) -> Column:
+    # per-seed/band expressions are SQL TEXT parsed once by F.expr —
+    # building 64 min-aggregates + the band keys as nested Column trees
+    # costs noticeable driver-side py4j time per call (same fix as the
+    # simhash signature)
+    def perm_sql(seed: int) -> str:
         if hash == "xx":
-            return F.xxhash64(h, F.lit(seed))
+            return f"xxhash64(__h, {seed})"
         a = ((seed * 2 + 1) * 1103515245) % POLY_P
         b = (seed * 12345 + 7) % POLY_P
-        return F.pmod(F.lit(a) * h + F.lit(b), F.lit(POLY_P))
+        return f"pmod({a} * __h + {b}, {POLY_P})"
 
     sig = (
         ex.groupBy("__id")
-        .agg(*[F.min(perm(s, F.col("__h"))).alias(f"__m{s}")
+        .agg(*[F.expr(f"min({perm_sql(s)})").alias(f"__m{s}")
                for s in range(num_hashes)])
         .select(
             "__id",
-            F.array(*[F.col(f"__m{s}") for s in range(num_hashes)]).alias("__sig"),
+            F.expr("array(" + ", ".join(
+                f"__m{s}" for s in range(num_hashes)) + ")").alias("__sig"),
         )
     )
 
-    def band_hash(sl: Column) -> Column:
+    def band_sql(b: int) -> str:
+        sl = f"slice(__sig, {b * rows_per_band + 1}, {rows_per_band})"
         if hash == "xx":
             # xxhash64 hashes the sliced array<long> directly — no
             # per-band string materialization
-            return F.xxhash64(sl)
-        return F.aggregate(
-            sl, F.lit(0).cast("long"),
-            lambda acc, m: F.pmod(acc * 1000003 + m, F.lit(POLY_P)),
-        )
+            return f"xxhash64({sl})"
+        return (f"aggregate({sl}, CAST(0 AS BIGINT), "
+                f"(acc, m) -> pmod(acc * 1000003 + m, {POLY_P}))")
 
     # the band explode and candidate self-join carry ONLY (id, band, bucket)
     # — 24 bytes/row — never the shingle arrays; shipping the heaviest column
     # through a `bands`-way explode would amplify its shuffle bytes by the
     # band count at scale. Shingle sets cross the wire once per doc in the
-    # verification joins below, not once per band.
+    # verification joins below, not once per band. The band list is a
+    # LITERAL array (bands is a plan-time int), not a transform-over-
+    # sequence HOF — fixed expressions stay inside whole-stage codegen.
     banded = sig.select(
         "__id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: band_hash(
-                    F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
-                ),
-            )
-        ).alias("__band", "__bh"),
+        F.posexplode(F.expr("array(" + ", ".join(
+            band_sql(b) for b in range(bands)) + ")")).alias("__band", "__bh"),
     )
     # persist: the self-join evaluates each side's subtree independently
     # (broadcast build + streamed probe do NOT share work), which would run
@@ -371,41 +371,37 @@ def simhash_pairs(
     rejoin with signature 0, matching the accumulator's empty fold.
     """
     bits = 64
+    # The per-bit expressions below are built as SQL TEXT and parsed once
+    # by F.expr: constructing 64 vote aggregates + 64 pack terms as nested
+    # Column trees costs ~3 s of driver-side py4j round-trips per call
+    # (measured at sf0.01 — more than the job itself). The token hash is
+    # projected ONCE as __h so each vote reads a cheap attribute.
     tok = df.select(
         F.col(id_col).alias("__id"),
         F.explode(words(F.col(content_col))).alias("__t"),
     )
     if hash == "xx":
-        h = F.xxhash64(F.col("__t"))
+        tok = tok.select("__id", F.xxhash64("__t").alias("__h"))
 
-        def vote(i: int) -> Column:
-            return F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
+        def vote(i: int) -> str:
+            return (f"CASE WHEN (shiftright(__h, {i}) & 1) = 1 "
+                    f"THEN 1 ELSE -1 END")
     else:
-        h = poly_string_hash(F.col("__t"))
+        tok = tok.select("__id", poly_string_hash(F.col("__t")).alias("__h"))
 
-        def vote(i: int) -> Column:
+        def vote(i: int) -> str:
             a = ((i * 2 + 1) * 1103515245) % POLY_P
             b = (i * 12345 + 7) % POLY_P
-            return F.when(
-                F.pmod(F.lit(a) * h + F.lit(b), F.lit(POLY_P)) * 2
-                >= F.lit(POLY_P),
-                F.lit(1),
-            ).otherwise(F.lit(-1))
+            return (f"CASE WHEN pmod({a} * __h + {b}, {POLY_P}) * 2 "
+                    f">= {POLY_P} THEN 1 ELSE -1 END")
 
     counts = tok.groupBy("__id").agg(
-        *[F.sum(vote(i)).alias(f"__c{i}") for i in range(bits)]
+        *[F.expr(f"sum({vote(i)})").alias(f"__c{i}") for i in range(bits)]
     )
-    packed = None
-    for i in range(bits):
-        term = F.when(
-            F.col(f"__c{i}") > 0,
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-        packed = term if packed is None else packed + term
-    sims = counts.select("__id", packed.alias("__sim"))
+    packed_sql = " + ".join(
+        f"(CASE WHEN __c{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for i in range(bits))
+    sims = counts.select("__id", F.expr(packed_sql).alias("__sim"))
     base = (
         df.select(F.col(id_col).alias("__id"))
         .join(sims, "__id", "left")
@@ -445,7 +441,7 @@ def simhash_pairs(
         blocks.append((off, wi))
         off += wi
 
-    def key_expr(combo: tuple[int, ...]) -> Column:
+    def key_sql(combo: tuple[int, ...]) -> str:
         # join key = xxhash64 of the combo's block values. Arithmetic
         # bit-packing would overflow int64 (ANSI abort) whenever the
         # combined block width exceeds 63 bits (e.g. max_hamming=0 →
@@ -458,12 +454,11 @@ def simhash_pairs(
             mask = (1 << wi) - 1
             if mask > (1 << 63) - 1:  # wi == 64: all-ones as signed long
                 mask -= 1 << 64
-            pieces.append(
-                F.shiftrightunsigned(F.col("__sim"), o).bitwiseAND(F.lit(mask)))
-        return F.xxhash64(*pieces)
+            pieces.append(f"(shiftrightunsigned(__sim, {o}) & {mask})")
+        return f"xxhash64({', '.join(pieces)})"
 
     combos = list(itertools.combinations(range(nb), c))
-    keys = F.array(*[key_expr(cb) for cb in combos])
+    keys = F.expr("array(" + ", ".join(key_sql(cb) for cb in combos) + ")")
     cand = base.select(
         "__id", "__sim", F.posexplode(keys).alias("__tbl", "__key"))
     a, b = cand.alias("a"), cand.alias("b")

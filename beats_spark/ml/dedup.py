@@ -493,12 +493,13 @@ def embedding_neardup_pairs(
     """Near-duplicate pairs by cosine >= threshold, candidates from
     random-hyperplane buckets (two vectors at angle θ collide with prob
     (1-θ/π)^planes). Verification is exact cosine inside buckets."""
-    from beats_spark.ml.similarity import cosine, hyperplane_bucket
+    from beats_spark.ml.similarity import cosine, hyperplane_buckets
 
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("__bkt", hyperplane_bucket(F.col("__v"), num_planes, coef_hash))
+    ).join(hyperplane_buckets(df, vec_col, id_col, num_planes, coef_hash),
+           "__id")
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, (F.col("a.__bkt") == F.col("b.__bkt")) & (F.col("a.__id") < F.col("b.__id")))

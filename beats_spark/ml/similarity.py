@@ -59,7 +59,11 @@ def _plane_coef(p: int, d: Column, coef_hash: str = "xx") -> Column:
 def hyperplane_bucket(vec: Column, num_planes: int = 8,
                       coef_hash: str = "xx") -> Column:
     """Sign-bit signature of ``vec`` against ``num_planes`` deterministic
-    hyperplanes, packed into a bigint bucket id."""
+    hyperplanes, packed into a bigint bucket id.
+
+    Column form for single-expression use (e.g. one query vector). For a
+    whole CORPUS use :func:`hyperplane_buckets` — this form evaluates
+    interpreted higher-order functions, O(planes × dims) per row."""
     out = F.lit(0).cast("long")
     for p in range(num_planes):
         proj = F.aggregate(
@@ -74,6 +78,51 @@ def hyperplane_bucket(vec: Column, num_planes: int = 8,
         )
         out = out + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def _coef_sql(p: int, coef_hash: str) -> str:
+    """SQL text of _plane_coef(p, __pos) — identical arithmetic/types."""
+    if coef_hash == "xx":
+        mixed = f"xxhash64({p * 16384} + __pos)"
+    else:
+        from beats_spark.ml.dedup import POLY_P
+        mixed = (f"aggregate(split(CAST({p * 16384} + __pos + 1 AS STRING), "
+                 f"''), CAST(7 AS BIGINT), "
+                 f"(acc, c) -> pmod(acc * 31 + ascii(c), {POLY_P}))")
+    return f"(CAST(pmod({mixed}, 2000) AS DOUBLE) - 1000.0) / 1000.0"
+
+
+def hyperplane_buckets(df: DataFrame, vec_col: str = "embedding",
+                       id_col: str = "vec_id", num_planes: int = 8,
+                       coef_hash: str = "xx") -> DataFrame:
+    """(id, __bkt) for every corpus row — same values as the Column form,
+    computed relationally: posexplode the vector once, run ``num_planes``
+    codegen'd sum-aggregates (coefficient derived from the element position
+    inline, JVM-side), pack the sign bits. The Column form's nested
+    zip_with/aggregate lambdas evaluate INTERPRETED per element per plane;
+    here everything stays inside whole-stage codegen and the expressions
+    are built as SQL text (the 64-expression py4j lesson from the
+    minhash/simhash signatures). Empty vectors get bucket 0, matching the
+    Column form's empty fold."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    ex = base.select("__id", F.posexplode("__v").alias("__pos", "__x"))
+    projs = ex.groupBy("__id").agg(
+        *[F.expr(f"sum(__x * ({_coef_sql(p, coef_hash)}))").alias(f"__p{p}")
+          for p in range(num_planes)]
+    )
+    bkt_sql = " + ".join(
+        f"(CASE WHEN __p{p} > 0 THEN shiftleft(CAST(1 AS BIGINT), {p}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for p in range(num_planes))
+    projs = projs.select("__id", F.expr(bkt_sql).alias("__bkt"))
+    return (
+        base.select("__id")
+        .join(projs, "__id", "left")
+        .select("__id",
+                F.coalesce("__bkt", F.lit(0).cast("long")).alias("__bkt"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -130,13 +179,21 @@ def lsh_topk(
     """
     q = F.lit(query_vec).cast("array<double>")
     vec = F.col(vec_col).cast("array<double>")
-    base = corpus.select(
-        F.col(id_col),
-        vec.alias("__v"),
-        hyperplane_bucket(vec, num_planes, coef_hash).alias("__bkt"),
+    base = corpus.select(F.col(id_col), vec.alias("__v")).join(
+        hyperplane_buckets(corpus, vec_col, id_col, num_planes, coef_hash)
+        .withColumnRenamed("__id", id_col),
+        id_col,
     )
-    qb = hyperplane_bucket(q, num_planes, coef_hash)
-    probed = base.filter(F.bit_count(F.col("__bkt").bitwiseXOR(qb)) <= probe_hamming)
+    # the query's bucket is ONE value: evaluate the Column form on a
+    # single synthetic row and inline the result as a literal — leaving it
+    # as an expression re-runs the interpreted plane fold on EVERY corpus
+    # row inside the filter (HOFs are not constant-folded)
+    spark = corpus.sparkSession
+    qb_val = spark.range(1).select(
+        hyperplane_bucket(q, num_planes, coef_hash).alias("b")
+    ).collect()[0]["b"]
+    probed = base.filter(
+        F.bit_count(F.col("__bkt").bitwiseXOR(F.lit(qb_val))) <= probe_hamming)
     if exclude_id is not None:
         probed = probed.filter(F.col(id_col) != exclude_id)
     return (

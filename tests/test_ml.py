@@ -298,3 +298,21 @@ def test_simhash_perm_wide_key_no_overflow(docs):
     want = {(a, b) for a, b in itertools.combinations(sorted(by_id), 2)
             if by_id[a] == by_id[b]}
     assert set(zip(got["id_a"], got["id_b"])) == want
+
+
+def test_hyperplane_buckets_relational_plan_and_parity(emb):
+    """Corpus bucket pass must be codegen aggregates (no interpreted
+    higher-order functions) and must equal the Column form bit-for-bit."""
+    from beats_spark.ml.similarity import hyperplane_bucket, hyperplane_buckets
+
+    rel = hyperplane_buckets(emb, num_planes=8)
+    plan = rel._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "zip_with" not in plan.lower() and "transform(" not in plan.lower()
+    col = emb.select(
+        F.col("vec_id").alias("__id"),
+        hyperplane_bucket(F.col("embedding").cast("array<double>"),
+                          8).alias("__bkt"))
+    a = {r["__id"]: r["__bkt"] for r in rel.collect()}
+    b = {r["__id"]: r["__bkt"] for r in col.collect()}
+    assert a == b

@@ -100,10 +100,12 @@ def _set_nested(parent: Column, parent_type: T.StructType, parts: list[str], val
 
 def _tmp_name(df: DataFrame) -> str:
     """Staging-column name guaranteed absent from df (a user column named
-    __with_path_value__ must survive a with_path call untouched)."""
+    __with_path_value__ must survive a with_path call untouched). Compared
+    case-insensitively: Spark resolution is case-insensitive by default, so
+    withColumn would REPLACE a column differing only in case."""
     name, i = "__with_path_value__", 0
-    existing = set(df.columns)
-    while name in existing:
+    existing = {c.lower() for c in df.columns}
+    while name.lower() in existing:
         i += 1
         name = f"__with_path_value_{i}__"
     return name

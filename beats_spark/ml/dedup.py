@@ -23,6 +23,15 @@ from pyspark.sql import Column, DataFrame, functions as F
 POLY_P = 2_147_483_647
 
 
+def pack_sign_bits_sql(prefix: str, n: int) -> str:
+    """SQL text packing the signs of columns ``{prefix}0..{prefix}{n-1}``
+    (> 0 → bit i) into one BIGINT — shared by the simhash signature and the
+    hyperplane bucket pass so the packing convention lives in one place."""
+    return " + ".join(
+        f"(CASE WHEN {prefix}{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for i in range(n))
+
+
 def poly_string_hash(t: Column, base: int = 31, seed: int = 7) -> Column:
     """Polynomial hash over character codes in [0, P) — DuckDB-expressible
     (list_reduce over string_split)."""
@@ -398,10 +407,8 @@ def simhash_pairs(
     counts = tok.groupBy("__id").agg(
         *[F.expr(f"sum({vote(i)})").alias(f"__c{i}") for i in range(bits)]
     )
-    packed_sql = " + ".join(
-        f"(CASE WHEN __c{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
-        f"ELSE CAST(0 AS BIGINT) END)" for i in range(bits))
-    sims = counts.select("__id", F.expr(packed_sql).alias("__sim"))
+    sims = counts.select(
+        "__id", F.expr(pack_sign_bits_sql("__c", bits)).alias("__sim"))
     base = (
         df.select(F.col(id_col).alias("__id"))
         .join(sims, "__id", "left")
@@ -493,13 +500,15 @@ def embedding_neardup_pairs(
     """Near-duplicate pairs by cosine >= threshold, candidates from
     random-hyperplane buckets (two vectors at angle θ collide with prob
     (1-θ/π)^planes). Verification is exact cosine inside buckets."""
-    from beats_spark.ml.similarity import cosine, hyperplane_buckets
+    from beats_spark.ml.similarity import _bucket_projs, cosine
 
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).join(hyperplane_buckets(df, vec_col, id_col, num_planes, coef_hash),
-           "__id")
+    )
+    base = base.join(
+        _bucket_projs(base, num_planes, coef_hash), "__id", "left"
+    ).withColumn("__bkt", F.coalesce("__bkt", F.lit(0).cast("long")))
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, (F.col("a.__bkt") == F.col("b.__bkt")) & (F.col("a.__id") < F.col("b.__id")))

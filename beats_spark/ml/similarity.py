@@ -5,11 +5,16 @@ Two tiers:
   pass (dot product via ``F.zip_with`` + ``F.aggregate``, pure JVM) and a
   global top-k (TakeOrdered — per-partition heaps, only k rows per partition
   reach the driver; no full sort, no shuffle of the corpus).
-- ``lsh_topk``: random-hyperplane LSH — the scale path. Bucket signature is
-  computed in the same narrow pass; the query probes only buckets within
-  ``probe_hamming`` of its own signature, so the scan is ~corpus/2^planes
-  per probe. Hyperplane coefficients are deterministic integer hashes
-  (no RNG shipping, reproducible at any parallelism).
+- ``lsh_topk``: random-hyperplane LSH — the scale path. Corpus bucket
+  signatures come from a relational pass (posexplode → codegen'd per-plane
+  sum-aggregates → id-keyed join back; see ``_bucket_projs``) — one extra
+  id-shuffle, but zero interpreted higher-order functions on the corpus.
+  The query's own bucket is evaluated once on a synthetic row at plan time
+  (a 1-row job) and inlined as a literal so the probe filter is a pure
+  codegen bit_count. The probe scans ~corpus/2^planes rows per probe; at
+  100 TB the corpus would be WRITTEN partitioned by bucket so the probe
+  prunes file scans instead. Hyperplane coefficients are deterministic
+  integer hashes (no RNG shipping, reproducible at any parallelism).
 """
 
 from __future__ import annotations
@@ -80,46 +85,80 @@ def hyperplane_bucket(vec: Column, num_planes: int = 8,
     return out
 
 
-def _coef_sql(p: int, coef_hash: str) -> str:
-    """SQL text of _plane_coef(p, __pos) — identical arithmetic/types."""
+def _poly_coef_py(p: int, d: int) -> float:
+    """Exact Python replica of _plane_coef for coef_hash='poly' — pure
+    integer arithmetic plus one final float subtract/divide, so the value
+    is bit-identical to the Spark/DuckDB derivation."""
+    from beats_spark.ml.dedup import POLY_P
+
+    acc = 7
+    for ch in str(p * 16384 + d + 1):
+        acc = (acc * 31 + ord(ch)) % POLY_P
+    return (float(acc % 2000) - 1000.0) / 1000.0
+
+
+def _bucket_projs(base: DataFrame, num_planes: int,
+                  coef_hash: str) -> DataFrame:
+    """(__id, __bkt) for ids of ``base`` (columns __id, __v) whose vector
+    has at least one element — the caller left-joins and coalesces to 0 for
+    empty/NULL vectors (the Column form's empty fold). A vector containing
+    a NULL ELEMENT also gets bucket 0: the Column form's fold nullifies the
+    whole projection, where a plain sum() would silently skip it.
+
+    posexplode once, then ``num_planes`` codegen'd sum-aggregates; sign
+    bits packed with the shared helper. coef_hash='xx' derives the
+    coefficient inline from the element position (pure codegen SQL).
+    coef_hash='poly' joins a broadcast coefficient table precomputed in
+    Python (bit-identical integer arithmetic) — deriving it inline would
+    run an interpreted aggregate/split character fold per element per
+    plane, which is the exact interpretation this relational form exists
+    to remove."""
+    from beats_spark.ml.dedup import pack_sign_bits_sql
+
+    ex = base.select("__id", F.posexplode("__v").alias("__pos", "__x"))
     if coef_hash == "xx":
-        mixed = f"xxhash64({p * 16384} + __pos)"
+        prods = [
+            f"sum(__x * ((CAST(pmod(xxhash64({p * 16384} + __pos), 2000) "
+            f"AS DOUBLE) - 1000.0) / 1000.0))"
+            for p in range(num_planes)
+        ]
     else:
-        from beats_spark.ml.dedup import POLY_P
-        mixed = (f"aggregate(split(CAST({p * 16384} + __pos + 1 AS STRING), "
-                 f"''), CAST(7 AS BIGINT), "
-                 f"(acc, c) -> pmod(acc * 31 + ascii(c), {POLY_P}))")
-    return f"(CAST(pmod({mixed}, 2000) AS DOUBLE) - 1000.0) / 1000.0"
+        dims = base.agg(F.max(F.size("__v"))).first()[0] or 0
+        spark = base.sparkSession
+        coefs = spark.createDataFrame(
+            [(d, *[_poly_coef_py(p, d) for p in range(num_planes)])
+             for d in range(dims)],
+            ["__pos", *[f"__k{p}" for p in range(num_planes)]],
+        )
+        ex = ex.join(F.broadcast(coefs), "__pos")
+        prods = [f"sum(__x * __k{p})" for p in range(num_planes)]
+    projs = ex.groupBy("__id").agg(
+        F.expr("sum(CASE WHEN __x IS NULL THEN 1 ELSE 0 END)").alias("__nn"),
+        *[F.expr(prods[p]).alias(f"__p{p}") for p in range(num_planes)],
+    )
+    return projs.select(
+        "__id",
+        F.expr(f"CASE WHEN __nn > 0 THEN CAST(0 AS BIGINT) "
+               f"ELSE {pack_sign_bits_sql('__p', num_planes)} END"
+               ).alias("__bkt"),
+    )
 
 
 def hyperplane_buckets(df: DataFrame, vec_col: str = "embedding",
                        id_col: str = "vec_id", num_planes: int = 8,
                        coef_hash: str = "xx") -> DataFrame:
-    """(id, __bkt) for every corpus row — same values as the Column form,
-    computed relationally: posexplode the vector once, run ``num_planes``
-    codegen'd sum-aggregates (coefficient derived from the element position
-    inline, JVM-side), pack the sign bits. The Column form's nested
-    zip_with/aggregate lambdas evaluate INTERPRETED per element per plane;
-    here everything stays inside whole-stage codegen and the expressions
-    are built as SQL text (the 64-expression py4j lesson from the
-    minhash/simhash signatures). Empty vectors get bucket 0, matching the
-    Column form's empty fold."""
+    """(id, __bkt) for every corpus row — same values as the Column form
+    (including bucket 0 for empty, NULL, and NULL-element vectors),
+    computed relationally via :func:`_bucket_projs`. Callers that already
+    hold an (id, vec) projection should join ``_bucket_projs`` directly
+    instead of calling this (it re-selects from df for the id spine)."""
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    ex = base.select("__id", F.posexplode("__v").alias("__pos", "__x"))
-    projs = ex.groupBy("__id").agg(
-        *[F.expr(f"sum(__x * ({_coef_sql(p, coef_hash)}))").alias(f"__p{p}")
-          for p in range(num_planes)]
-    )
-    bkt_sql = " + ".join(
-        f"(CASE WHEN __p{p} > 0 THEN shiftleft(CAST(1 AS BIGINT), {p}) "
-        f"ELSE CAST(0 AS BIGINT) END)" for p in range(num_planes))
-    projs = projs.select("__id", F.expr(bkt_sql).alias("__bkt"))
     return (
         base.select("__id")
-        .join(projs, "__id", "left")
+        .join(_bucket_projs(base, num_planes, coef_hash), "__id", "left")
         .select("__id",
                 F.coalesce("__bkt", F.lit(0).cast("long")).alias("__bkt"))
     )
@@ -179,10 +218,11 @@ def lsh_topk(
     """
     q = F.lit(query_vec).cast("array<double>")
     vec = F.col(vec_col).cast("array<double>")
-    base = corpus.select(F.col(id_col), vec.alias("__v")).join(
-        hyperplane_buckets(corpus, vec_col, id_col, num_planes, coef_hash)
-        .withColumnRenamed("__id", id_col),
-        id_col,
+    ids = corpus.select(F.col(id_col).alias("__id"), vec.alias("__v"))
+    base = (
+        ids.join(_bucket_projs(ids, num_planes, coef_hash), "__id", "left")
+        .select(F.col("__id").alias(id_col), "__v",
+                F.coalesce("__bkt", F.lit(0).cast("long")).alias("__bkt"))
     )
     # the query's bucket is ONE value: evaluate the Column form on a
     # single synthetic row and inline the result as a literal — leaving it

@@ -420,9 +420,13 @@ def main() -> None:
             # success-stop needs BOTH levels within 15% of their best
             # committed mins (tighter than the 1.5× window_ok REPORTING
             # threshold): stopping at the first eff >= 0.8 with loose mins
-            # would select a favorable noise draw (optional stopping)
-            stop_ok = all(scaling[c]["sec"] <= sref[c] * 1.15
-                          for c in scaling if c in sref)
+            # would select a favorable noise draw (optional stopping).
+            # Levels with NO committed history never satisfy this — a
+            # vacuous all() would reopen exactly that hole — so a fresh
+            # clone runs the full min_rounds..budget schedule instead.
+            stop_ok = all(
+                c in sref and scaling[c]["sec"] <= sref[c] * 1.15
+                for c in scaling)
             if rnd >= min_rounds and stop_ok and eff >= 0.8:
                 break
             if rnd >= min_rounds and time.monotonic() - t_start > budget:

@@ -88,3 +88,10 @@ def test_with_path_survives_user_column_named_like_staging(spark):
     row = out.collect()[0]
     assert row["__with_path_value__"] == "keep"
     assert row["a"]["b"] == "x"
+    # case variant: Spark resolution is case-insensitive by default, so the
+    # guard must compare names case-insensitively too
+    df2 = spark.createDataFrame(
+        [("keep", "m")], "__WITH_PATH_VALUE__ string, message string")
+    row2 = with_path(df2, "a.b", F.lit("x")).collect()[0]
+    assert row2["__WITH_PATH_VALUE__"] == "keep"
+    assert row2["a"]["b"] == "x"

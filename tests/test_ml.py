@@ -316,3 +316,25 @@ def test_hyperplane_buckets_relational_plan_and_parity(emb):
     a = {r["__id"]: r["__bkt"] for r in rel.collect()}
     b = {r["__id"]: r["__bkt"] for r in col.collect()}
     assert a == b
+
+
+def test_hyperplane_buckets_null_and_empty_vectors(spark):
+    """NULL array, empty array, and a NULL ELEMENT must all yield bucket 0
+    in BOTH forms (the Column fold nullifies the projection; a bare sum()
+    would silently skip the NULL element and diverge)."""
+    from beats_spark.ml.similarity import hyperplane_bucket, hyperplane_buckets
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, -3.0]), (2, None), (3, []), (4, [1.0, None, -2.0])],
+        "vec_id bigint, embedding array<double>")
+    for ch in ("xx", "poly"):
+        rel = {r["__id"]: r["__bkt"]
+               for r in hyperplane_buckets(df, num_planes=4,
+                                           coef_hash=ch).collect()}
+        col = {r["vec_id"]: r["b"] for r in df.select(
+            "vec_id",
+            hyperplane_bucket(F.col("embedding").cast("array<double>"),
+                              4, ch).alias("b")).collect()}
+        col = {k: (0 if v is None else v) for k, v in col.items()}
+        assert rel == col, (ch, rel, col)
+        assert rel[2] == 0 and rel[3] == 0 and rel[4] == 0

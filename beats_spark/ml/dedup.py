@@ -499,23 +499,68 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, candidates from
     random-hyperplane buckets (two vectors at angle θ collide with prob
-    (1-θ/π)^planes). Verification is exact cosine inside buckets."""
-    from beats_spark.ml.similarity import _bucket_projs, cosine
+    (1-θ/π)^planes). Verification is exact cosine inside buckets.
+
+    The verification is RELATIONAL: per-vector norms are precomputed once
+    (explode + codegen sum), the bucket self-join carries only
+    (id, bucket, norm) — never the vectors — and each candidate pair's dot
+    product is an arrays_zip explode + one codegen sum-aggregate. The
+    pairwise ``cosine()`` Column form evaluates interpreted higher-order
+    lambdas per element per PAIR — at 100 TB the candidate count, not the
+    corpus, dominates, so verification is the op's hot path. Degenerate
+    inputs never emit a pair: NULL vector elements (and arrays_zip's
+    NULL padding of length-mismatched pairs) nullify the dot product, and
+    zero-norm vectors produce a NaN cosine that is explicitly filtered —
+    Spark orders NaN GREATER than every value, so a bare ``>= threshold``
+    would otherwise let 0/0 pairs through."""
+    from beats_spark.ml.similarity import _bucket_projs
 
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    base = base.join(
-        _bucket_projs(base, num_planes, coef_hash), "__id", "left"
-    ).withColumn("__bkt", F.coalesce("__bkt", F.lit(0).cast("long")))
-    a, b = base.alias("a"), base.alias("b")
+    norms = (
+        base.select("__id", F.explode("__v").alias("__x"))
+        .groupBy("__id")
+        .agg(F.expr("CASE WHEN sum(CASE WHEN __x IS NULL THEN 1 ELSE 0 END)"
+                    " > 0 THEN CAST(NULL AS DOUBLE) "
+                    "ELSE sqrt(sum(__x * __x)) END").alias("__n"))
+    )
+    ids = (
+        base.select("__id")
+        .join(_bucket_projs(base, num_planes, coef_hash), "__id", "left")
+        .withColumn("__bkt", F.coalesce("__bkt", F.lit(0).cast("long")))
+        .join(norms, "__id", "left")
+    )
+    a, b = ids.alias("a"), ids.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.__bkt") == F.col("b.__bkt"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    ).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        F.col("a.__n").alias("__na"),
+        F.col("b.__n").alias("__nb"),
+    )
+    va = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    z = (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", "__na", "__nb",
+                F.explode(F.arrays_zip("__va", "__vb")).alias("__z"))
+    )
+    dots = z.groupBy("id_a", "id_b", "__na", "__nb").agg(
+        F.expr("CASE WHEN sum(CASE WHEN __z.__va IS NULL OR __z.__vb IS "
+               "NULL THEN 1 ELSE 0 END) > 0 THEN CAST(NULL AS DOUBLE) "
+               "ELSE sum(__z.__va * __z.__vb) END").alias("__dot"))
     return (
-        a.join(b, (F.col("a.__bkt") == F.col("b.__bkt")) & (F.col("a.__id") < F.col("b.__id")))
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+        dots.select(
+            "id_a", "id_b",
+            # try_divide: a zero-norm vector yields NULL (dropped below)
+            # instead of the ANSI DIVIDE_BY_ZERO abort
+            F.round(F.try_divide(F.col("__dot"),
+                                 F.col("__na") * F.col("__nb")),
+                    6).alias("cosine"))
+        .filter((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
     )

@@ -338,3 +338,16 @@ def test_hyperplane_buckets_null_and_empty_vectors(spark):
         col = {k: (0 if v is None else v) for k, v in col.items()}
         assert rel == col, (ch, rel, col)
         assert rel[2] == 0 and rel[3] == 0 and rel[4] == 0
+
+
+def test_embedding_neardup_degenerate_vectors(spark):
+    """NULL array, empty array, NULL element, and zero-norm vectors must
+    never emit a pair: Spark orders NaN ABOVE every value, so an unguarded
+    `cosine >= threshold` filter lets 0/0 pairs through, and ANSI mode
+    aborts on double division by zero without try_divide."""
+    d = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0]), (3, None), (4, []),
+         (5, [1.0, None]), (6, [0.0, 0.0])],
+        "vec_id bigint, embedding array<double>")
+    got = dedup.embedding_neardup_pairs(d, threshold=0.5, num_planes=2)
+    assert {(r["id_a"], r["id_b"]) for r in got.collect()} == {(1, 2)}

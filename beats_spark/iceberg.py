@@ -43,11 +43,25 @@ def qualified(catalog: str, namespace: str, table: str) -> str:
     return f"{catalog}.{namespace}.{table}"
 
 
+def sql_str(value: str) -> str:
+    """Escape a value for interpolation into a single-quoted SQL literal —
+    a path or run id containing a quote must not break (or rewrite) the
+    statement."""
+    return value.replace("'", "''")
+
+
 def snapshots_sql(catalog: str, namespace: str, table: str) -> str:
     """Query against the Iceberg ``<table>.snapshots`` metadata table; the
     run id comes back from the snapshot summary map (writes stamp it via
     the ``snapshot-property.run_id`` write option; adopted snapshots are
-    stamped through a table property instead — see adopt_directory)."""
+    stamped through a table property instead — see adopt_directory).
+
+    Restricted to the CURRENT ancestry (the ``.history`` metadata table's
+    ``is_current_ancestor``): ``rollback_to_snapshot`` leaves rolled-back
+    snapshots listed in ``.snapshots`` until ``expire_snapshots`` runs, and
+    without this filter a rolled-back run would be seen forever by
+    incomplete_runs()/rollback_target() and wedge every subsequent
+    resume."""
     t = qualified(catalog, namespace, table)
     return (
         "SELECT CAST(snapshot_id AS STRING) AS snapshot_id, "
@@ -56,8 +70,30 @@ def snapshots_sql(catalog: str, namespace: str, table: str) -> str:
         "CAST(committed_at AS DOUBLE) AS committed_at, "
         "CAST(parent_id AS STRING) AS parent_id, "
         "operation, summary['run_id'] AS run_id "
-        f"FROM {t}.snapshots ORDER BY committed_at"
+        f"FROM {t}.snapshots WHERE snapshot_id IN "
+        f"(SELECT snapshot_id FROM {t}.history WHERE is_current_ancestor) "
+        "ORDER BY committed_at"
     )
+
+
+def order_by_lineage(snaps: list[IcebergSnapshot]) -> list[IcebergSnapshot]:
+    """Order snapshots by the parent_id chain. ``committed_at`` has
+    millisecond precision and can TIE for rapid successive commits, making
+    timestamp order nondeterministic where the contract requires lineage
+    order (read_since/rollback_target walk history). Falls back to the
+    input order if the chain is not a single line (shouldn't happen for an
+    ancestry-filtered set)."""
+    if len(snaps) <= 1:
+        return snaps
+    by_id = {s.snapshot_id: s for s in snaps}
+    children = {s.parent_id: s for s in snaps if s.parent_id in by_id}
+    roots = [s for s in snaps if s.parent_id not in by_id]
+    if len(roots) != 1:
+        return snaps
+    out = [roots[0]]
+    while out[-1].snapshot_id in children:
+        out.append(children[out[-1].snapshot_id])
+    return out if len(out) == len(snaps) else snaps
 
 
 def add_files_sql(catalog: str, namespace: str, table: str,
@@ -67,8 +103,8 @@ def add_files_sql(catalog: str, namespace: str, table: str,
     commit, no data rewrite."""
     t = f"{namespace}.{table}"
     return (
-        f"CALL {catalog}.system.add_files(table => '{t}', "
-        f"source_table => '`parquet`.`{src_dir}`')"
+        f"CALL {catalog}.system.add_files(table => '{sql_str(t)}', "
+        f"source_table => '`parquet`.`{sql_str(src_dir)}`')"
     )
 
 
@@ -99,9 +135,11 @@ def select_snapshot_range(snaps: list[IcebergSnapshot],
 def rollback_sql(catalog: str, namespace: str, table: str,
                  snapshot_id: str) -> str:
     t = f"{namespace}.{table}"
+    # int() both validates (ids are numeric in Iceberg) and blocks
+    # interpolating anything else into the statement
     return (
         f"CALL {catalog}.system.rollback_to_snapshot("
-        f"table => '{t}', snapshot_id => {snapshot_id})"
+        f"table => '{sql_str(t)}', snapshot_id => {int(snapshot_id)})"
     )
 
 
@@ -195,6 +233,35 @@ class IcebergCatalog:
                 out[r["key"][len("run-id."):]] = r["value"]
         return out
 
+    def _run_intents(self, table: str) -> dict[str, str]:
+        """run_id → src_dir for adopt_directory calls whose run-id stamp
+        may not have landed (``run-intent.<run_id>`` table properties)."""
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self._t(table)}"
+        ).collect()
+        return {r["key"][len("run-intent."):]: r["value"]
+                for r in rows if r["key"].startswith("run-intent.")}
+
+    def _resolve_intent(self, table: str, run_id: str) -> None:
+        """Recovery half of adopt_directory's crash window: if an intent
+        for ``run_id`` is still recorded, the crash happened before the
+        run-id stamp. If the table's TAIL snapshot is unattributed it can
+        only be the crashed add_files commit (every write path in this
+        catalog stamps its snapshots) — attribute it so rollback sees it;
+        either way clear the intent."""
+        if run_id not in self._run_intents(table):
+            return
+        snaps = self.snapshots(table)
+        if snaps and snaps[-1].run_id is None:
+            self.spark.sql(
+                f"ALTER TABLE {self._t(table)} SET TBLPROPERTIES "
+                f"('run-id.{snaps[-1].snapshot_id}' = '{sql_str(run_id)}')"
+            )
+        self.spark.sql(
+            f"ALTER TABLE {self._t(table)} UNSET TBLPROPERTIES IF EXISTS "
+            f"('run-intent.{sql_str(run_id)}')"
+        )
+
     def snapshots(self, table: str) -> list[IcebergSnapshot]:
         if not self.exists(table):
             return []
@@ -202,7 +269,7 @@ class IcebergCatalog:
             snapshots_sql(self.catalog, self.namespace, table)
         ).collect()
         adopted = self._adopted_run_ids(table)
-        return [
+        return order_by_lineage([
             IcebergSnapshot(
                 snapshot_id=r["snapshot_id"],
                 committed_at=float(r["committed_at"]),
@@ -211,7 +278,7 @@ class IcebergCatalog:
                 operation=r["operation"],
             )
             for r in rows
-        ]
+        ])
 
     def latest_snapshot(self, table: str) -> IcebergSnapshot | None:
         snaps = self.snapshots(table)
@@ -241,7 +308,20 @@ class IcebergCatalog:
         run id is recorded as a ``run-id.<snapshot_id>`` TABLE property
         keyed by the snapshot the call just created; snapshots() merges it
         back so rollback_run/incomplete_runs see adopted snapshots exactly
-        like written ones."""
+        like written ones.
+
+        Crash safety: a ``run-intent.<run_id>`` property is committed
+        BEFORE add_files and cleared after the run-id stamp. A crash
+        between add_files and the stamp would otherwise leave a committed
+        snapshot nobody can attribute — rollback_run would no-op and the
+        replayed batch would duplicate its rows; the intent lets recovery
+        attribute the unstamped tail snapshot to the crashed run (see
+        _resolve_intent)."""
+        if run_id:
+            self.spark.sql(
+                f"ALTER TABLE {self._t(table)} SET TBLPROPERTIES "
+                f"('run-intent.{sql_str(run_id)}' = '{sql_str(src_dir)}')"
+            )
         self.spark.sql(
             add_files_sql(self.catalog, self.namespace, table, src_dir)
         )
@@ -250,7 +330,11 @@ class IcebergCatalog:
         if run_id:
             self.spark.sql(
                 f"ALTER TABLE {self._t(table)} SET TBLPROPERTIES "
-                f"('run-id.{snap.snapshot_id}' = '{run_id}')"
+                f"('run-id.{snap.snapshot_id}' = '{sql_str(run_id)}')"
+            )
+            self.spark.sql(
+                f"ALTER TABLE {self._t(table)} UNSET TBLPROPERTIES IF EXISTS "
+                f"('run-intent.{sql_str(run_id)}')"
             )
             snap.run_id = run_id
         return snap
@@ -314,6 +398,7 @@ class IcebergCatalog:
     def rollback_run(self, run_id: str) -> dict[str, int]:
         removed: dict[str, int] = {}
         for table in self.tables():
+            self._resolve_intent(table, run_id)
             snaps = self.snapshots(table)
             target = rollback_target(snaps, run_id)
             mine = run_snapshots(snaps, run_id)
@@ -325,12 +410,23 @@ class IcebergCatalog:
             else:
                 self.spark.sql(rollback_sql(
                     self.catalog, self.namespace, table, target))
+                # drop the rolled-back snapshots' run-id properties — the
+                # ancestry filter already hides the snapshots, but stale
+                # properties would otherwise accumulate forever
+                for s in mine:
+                    self.spark.sql(
+                        f"ALTER TABLE {self._t(table)} UNSET TBLPROPERTIES "
+                        f"IF EXISTS ('run-id.{s.snapshot_id}')"
+                    )
             removed[table] = len(mine)
         return removed
 
     def incomplete_runs(self, lineage_table: str = "lineage") -> set[str]:
         per_table = {
-            t: {s.run_id for s in self.snapshots(t) if s.run_id}
+            # an unresolved adopt intent marks its run incomplete even when
+            # the crash hit before the run-id stamp landed
+            t: ({s.run_id for s in self.snapshots(t) if s.run_id}
+                | set(self._run_intents(t)))
             for t in self.tables()
         }
         lineage_runs: set[str] = per_table.get(lineage_table, set())

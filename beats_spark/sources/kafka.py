@@ -21,8 +21,11 @@ from pyspark.sql import DataFrame, functions as F
 
 def kafka_reader_options(cfg: dict[str, Any]) -> dict[str, str]:
     """filebeat kafka input config → spark.readStream.format("kafka") opts."""
+    hosts = cfg.get("hosts", [])
+    if isinstance(hosts, str):  # beats YAML coerces scalars to lists
+        hosts = [hosts]
     opts = {
-        "kafka.bootstrap.servers": ",".join(cfg.get("hosts", [])),
+        "kafka.bootstrap.servers": ",".join(hosts),
         "subscribe": ",".join(
             cfg["topics"] if isinstance(cfg.get("topics"), list)
             else [cfg.get("topics", "")]
@@ -41,23 +44,39 @@ def kafka_writer_frame(df: DataFrame, *, topic_col: str = "_sink",
                        key_fmtstr: str | None = None,
                        hash_fields: list[str] | None = None) -> DataFrame:
     """Shape a routed frame for ``df.write.format("kafka")``: columns
-    (topic, key, value). value = JSON of the payload (codec json,
-    outputs/codec/json)."""
+    (topic, key, value[, partition_key]). value = JSON of the payload
+    (codec json, outputs/codec/json).
+
+    A configured ``key_fmtstr`` ALWAYS becomes the message key — beats
+    keys the message with the fmtstr even when ``partition.hash`` is also
+    set (client.go:190-202; partition.go hashes the fields independently
+    of the key). With both configured the hash fields are emitted as a
+    separate ``partition_key`` column for a custom partitioner / explicit
+    ``partition`` assignment; only when no key is configured do the hash
+    fields double as the key (Kafka's default partitioner hashes the key,
+    reproducing hash partitioning without broker metadata)."""
     from beats_spark.fmtstr import compile_fmtstr
 
     payload_cols = [c for c in df.columns if not c.startswith("_")]
     value = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
-    if hash_fields:
-        key = F.concat_ws("|", *[F.col(f).cast("string") for f in hash_fields])
-    elif key_fmtstr:
+    hash_key = (
+        F.concat_ws("|", *[F.col(f).cast("string") for f in hash_fields])
+        if hash_fields else None
+    )
+    if key_fmtstr:
         key = compile_fmtstr(df, key_fmtstr)
+    elif hash_key is not None:
+        key = hash_key
     else:
         key = F.lit(None).cast("string")
-    return df.select(
+    cols = [
         F.col(topic_col).alias("topic"),
         key.alias("key"),
         value.alias("value"),
-    )
+    ]
+    if key_fmtstr and hash_key is not None:
+        cols.append(hash_key.alias("partition_key"))
+    return df.select(*cols)
 
 
 def write_kafka(df: DataFrame, bootstrap: str, **writer_frame_kwargs) -> None:

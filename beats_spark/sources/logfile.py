@@ -1,5 +1,5 @@
-"""The log-file input: glob → lines → (decode) → (ndjson) → filters →
-(multiline), as one declarative plan.
+"""The log-file input: glob → lines → (decode) → (multiline) → limit →
+filters → (ndjson), as one declarative plan.
 
 Reference path: filebeat/input/log/input.go:213 (``Run`` scans paths,
 ``matchesFile`` :363 applies include/exclude file filters) → harvester
@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 
 def _read_decoded_lines(spark: SparkSession, paths: list[str],
@@ -117,6 +117,19 @@ def read_log_files(
         w = Window.partitionBy("__path").orderBy(F.monotonically_increasing_id())
         df = df.withColumn("__offset", F.row_number().over(w).cast("long") - 1)
 
+    if multiline:
+        from beats_spark.processors import build_stage
+
+        cfg = {"field": "message", "partition_by": ["__path"],
+               "order_by": ["__offset"], **multiline}
+        df = build_stage("multiline", cfg).apply(df)
+
+    # limit and line filters run AFTER multiline, on the JOINED event —
+    # the reference reader chain is ... → multiline → limit
+    # (harvester.go:640-707), and shouldExportLine applies include/exclude
+    # to the combined multiline message (harvester.go:497-514): filtering
+    # raw lines first would truncate joined events to their matching lines
+    # and re-glue continuations onto the wrong neighbor.
     if max_bytes:
         # filebeat's limit is BYTES: truncate the utf-8 encoding, not a
         # character count (a multi-byte line would otherwise blow the
@@ -130,9 +143,9 @@ def read_log_files(
             ),
         )
 
-    # include_lines keeps a line matching ANY pattern; exclude_lines drops
-    # a line matching ANY pattern (harvester.go:497-514 MatchAny) — chained
-    # per-pattern filters would AND the includes
+    # include_lines keeps an event matching ANY pattern; exclude_lines
+    # drops an event matching ANY pattern (MatchAny) — chained per-pattern
+    # filters would AND the includes
     if include_lines:
         inc = F.lit(False)
         for pat in include_lines:
@@ -141,15 +154,16 @@ def read_log_files(
     for pat in exclude_lines or []:
         df = df.filter(~F.col("message").rlike(pat))
 
-    if multiline:
-        from beats_spark.processors import build_stage
-
-        cfg = {"field": "message", "partition_by": ["__path"],
-               "order_by": ["__offset"], **multiline}
-        df = build_stage("multiline", cfg).apply(df)
-
     if json is not None or json_schema is not None:
         jcfg = json or {}
+        unknown = set(jcfg) - {"keys_under_root", "overwrite_keys",
+                               "add_error_key"}
+        if unknown:
+            # same strict-keys convention as the multiline stage: a
+            # silently ignored key (message_key, expand_keys, …) would
+            # change semantics without warning
+            raise ValueError(f"logfile: unsupported json keys "
+                             f"{sorted(unknown)}")
         schema = json_schema
         if schema is None:
             raise ValueError("logfile: json parsing needs json_schema DDL")

@@ -88,3 +88,35 @@ def test_select_snapshot_range_gap_raises():
     snaps = [snap("1", "a", None), snap("2", "b", "1"), snap("3", "a", "2")]
     with pytest.raises(ValueError, match="not a contiguous"):
         select_snapshot_range(snaps, ["1", "3"], "t")
+
+
+def test_snapshots_sql_filters_to_current_ancestry():
+    """rollback_to_snapshot leaves dead snapshots in .snapshots until
+    expire_snapshots; without the .history is_current_ancestor filter a
+    rolled-back run stays visible and wedges every later resume."""
+    s = snapshots_sql("wh", "beats", "sink_a")
+    assert "wh.beats.sink_a.history" in s
+    assert "is_current_ancestor" in s
+
+
+def test_order_by_lineage_breaks_timestamp_ties():
+    from beats_spark.iceberg import order_by_lineage
+
+    # committed_at all equal (millisecond tie) and input deliberately
+    # shuffled: the parent chain must define the order
+    a, b, c = snap("1", "r1", None), snap("2", "r1", "1"), snap("3", "r2", "2")
+    assert order_by_lineage([c, a, b]) == [a, b, c]
+    # non-linear input (two roots) falls back to input order
+    x = [snap("1", None, None), snap("9", None, "7")]
+    assert order_by_lineage(list(x)) == x
+    assert order_by_lineage([]) == []
+
+
+def test_sql_literal_escaping():
+    from beats_spark.iceberg import sql_str
+
+    a = add_files_sql("wh", "beats", "sink_a", "/data/o'brien/_stage")
+    assert "o''brien" in a and "o'brien/_stage')" not in a
+    assert sql_str("it's") == "it''s"
+    with pytest.raises(ValueError):
+        rollback_sql("wh", "beats", "t", "1); DROP TABLE x; --")

@@ -263,3 +263,56 @@ def test_json_nested_schema_and_log_merge(spark, tmp_path):
     assert row["log"]["level"] == "warn"
     assert row["log"]["file"]["path"].endswith("a.log")
     assert row["log"]["offset"] == 0
+
+
+def test_logfile_filters_apply_to_joined_multiline_event(spark, tmp_path):
+    """filebeat applies include/exclude to the COMBINED multiline event and
+    limits bytes after joining (harvester.go:497-514, reader chain
+    ... -> multiline -> limit): the whole stack trace is kept because its
+    first line matches, and the joined event exceeds any per-line size."""
+    p = tmp_path / "trace.log"
+    p.write_text("ERROR boom\n  at frame 1\n  at frame 2\nok line\n")
+    df = read_log_files(
+        spark, str(tmp_path), glob="trace.log",
+        multiline={"pattern": r"^\s", "match": "after"},
+        include_lines=["ERROR"],
+    )
+    msgs = [r["message"] for r in df.collect()]
+    assert msgs == ["ERROR boom\n  at frame 1\n  at frame 2"]
+    # max_bytes truncates the JOINED event, not each raw line
+    df2 = read_log_files(
+        spark, str(tmp_path), glob="trace.log",
+        multiline={"pattern": r"^\s", "match": "after"},
+        max_bytes=12,
+    )
+    msgs2 = sorted(r["message"] for r in df2.collect())
+    assert msgs2 == ["ERROR boom\n ", "ok line"]
+
+
+def test_logfile_json_unknown_keys_raise(spark, tmp_path):
+    p = tmp_path / "x.ndjson"
+    p.write_text('{"k": 1}\n')
+    with pytest.raises(ValueError, match="unsupported json keys"):
+        read_log_files(spark, str(tmp_path), glob="x.ndjson",
+                       json={"message_key": "log"}, json_schema="k int")
+
+
+def test_kafka_scalar_hosts_and_key_with_hash():
+    from beats_spark.sources.kafka import kafka_reader_options
+
+    opts = kafka_reader_options({"hosts": "broker1:9092", "topics": "t"})
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092"
+
+
+def test_kafka_writer_key_fmtstr_wins_over_hash(spark):
+    from beats_spark.sources.kafka import kafka_writer_frame
+
+    df = spark.createDataFrame(
+        [("s1", "agent-7", "hostA", "x")],
+        "_sink string, agent string, host string, payload string")
+    out = kafka_writer_frame(df, key_fmtstr="%{[agent]}",
+                             hash_fields=["host"]).collect()[0]
+    # beats keys the message with the fmtstr even when partition.hash is
+    # configured; the hash fields ride separately for the partitioner
+    assert out["key"] == "agent-7"
+    assert out["partition_key"] == "hostA"

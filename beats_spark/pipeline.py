@@ -231,7 +231,15 @@ class Pipeline:
                         run_id: str | None = None) -> RunResult:
         """Resume from checkpoint: process only source snapshots not yet in
         the lineage table (registrar semantics). Idempotent: a second call
-        with no new source snapshots is a no-op."""
+        with no new source snapshots is a no-op.
+
+        SINGLE-DRIVER contract (same as the reference registrar's file
+        lock): exactly one driver — batch OR streaming — may operate a
+        warehouse at a time. The crash recovery below cannot distinguish a
+        crashed run from a concurrent IN-FLIGHT one (a run between its
+        sink commit and its lineage commit looks identical), so a
+        concurrent driver's half-committed run would be rolled back and
+        its rows lost when it commits lineage anyway."""
         cat = self.catalog
         assert cat is not None
         # recovery BEFORE resume: a previous run that crashed between sink

@@ -101,7 +101,7 @@ def multiline(cfg: dict[str, Any]) -> Stage:
     flush_pattern = cfg.get("flush_pattern")
     timeout = cfg.get("timeout")
     ts_field = cfg.get("ts_field", "ts")
-    mode = cfg.get("type") or ("count" if count_lines else "pattern")
+    mode = _mode  # computed once above, shared with the strict-key check
     if mode not in ("pattern", "count", "while_pattern"):
         raise ValueError(f"multiline: unknown type {mode!r}")
     if mode in ("pattern", "while_pattern") and not pattern:
@@ -169,12 +169,22 @@ def multiline(cfg: dict[str, Any]) -> Stage:
                 lines = F.slice(lines, 1, int(max_lines))
             merged = F.array_join(F.transform(lines, lambda s: s["__line"]), sep)
             keep = [c for c in df.columns if c not in part and not c.startswith("__ml")]
+            if "." in fld:
+                # dotted field: rebuild the row from the group's first
+                # event, then write the merged text back into the nested
+                # path — substituting only a same-named TOP-LEVEL column
+                # would silently drop every continuation line's content
+                from beats_spark.event import with_path
+                res = out.select(
+                    *[F.col(p) for p in part],
+                    *[F.col(f"__first.{c}").alias(c) for c in keep],
+                    F.col("__lines"),
+                )
+                return with_path(res, fld, merged).drop("__lines")
             cols = [F.col(p) for p in part] + [
                 (merged if c == fld else F.col(f"__first.{c}")).alias(c) for c in keep
             ]
-            return out.select(*cols).withColumn(
-                "__n", F.lit(None)
-            ).drop("__n")
+            return out.select(*cols)
 
     return Multiline()
 
@@ -207,10 +217,19 @@ def rate_limit(cfg: dict[str, Any]) -> Stage:
     class RateLimit(Stage):
         def custom(self, df: DataFrame) -> DataFrame:
             ts = get_path(df, ts_field)
+            # rows without an event time belong to no window and pass
+            # through untouched — same semantics as the streaming token
+            # bucket (streaming/stateful.py). They must be SPLIT OFF
+            # first: Spark's time-window rewrite injects an
+            # isnotnull(ts) filter, so keeping them in the limited frame
+            # silently drops every untimestamped event.
+            timed = df.filter(ts.isNotNull())
+            untimed = df.filter(ts.isNull())
             win = F.window(ts, window_dur)["start"]
-            keys = [get_path(df, f) for f in fields] + [win]
+            keys = [get_path(timed, f) for f in fields] + [win]
             w = Window.partitionBy(*keys).orderBy(ts)
-            df = df.withColumn("__rl_rn", F.row_number().over(w))
-            return df.filter(F.col("__rl_rn") <= n).drop("__rl_rn")
+            timed = timed.withColumn("__rl_rn", F.row_number().over(w))
+            limited = timed.filter(F.col("__rl_rn") <= n).drop("__rl_rn")
+            return limited.unionByName(untimed)
 
     return RateLimit()

@@ -27,16 +27,27 @@ def run_stream(pipe, source: DataFrame, checkpoint: str,
     """source (readStream DF) → micro-batch fan-out via the batch pipeline."""
     import hashlib
 
+    import os
+
     # batch ids are only unique PER CHECKPOINT; scope the run id by the
     # checkpoint identity, otherwise a second stream (fresh checkpoint)
     # against the same warehouse collides with the first stream's batch 0
     # in the lineage table, is mistaken for a replay, and silently DROPS
-    # its first batches
-    stream_id = hashlib.sha256(checkpoint.encode()).hexdigest()[:8]
+    # its first batches. The path is CANONICALIZED first: a relative
+    # 'ckpt' resolves to different directories from different CWDs (same
+    # hash, different stream — dropped batches) while 'ckpt' vs
+    # '/abs/ckpt' is the same directory (different hash — replayed batch
+    # double-appends).
+    norm = checkpoint if "://" in checkpoint else os.path.abspath(checkpoint)
+    stream_id = hashlib.sha256(norm.encode()).hexdigest()[:8]
     seen_runs: set[str] | None = None  # lazy-loaded once, then O(1)/batch
+    replay_checked = False  # only the FIRST unseen batch per (re)start can
+    # have a partially-committed prior attempt; batches created later in
+    # this same process are fresh, so per-batch rollback scans (O(total
+    # snapshots) each) would be guaranteed no-ops
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        nonlocal seen_runs
+        nonlocal seen_runs, replay_checked
         run_id = f"stream-{stream_id}-{batch_id:08d}"
         cat = pipe.catalog
         from beats_spark.pipeline import LINEAGE_TABLE
@@ -60,7 +71,9 @@ def run_stream(pipe, source: DataFrame, checkpoint: str,
         # adoption and the lineage commit) would double-append on replay;
         # rollback_run removes its snapshots + staging debris and is a
         # no-op for an unknown run_id — so the replay is exactly-once
-        cat.rollback_run(run_id)
+        if not replay_checked:
+            cat.rollback_run(run_id)
+            replay_checked = True
         pipe.run(batch_df, run_id=run_id,
                  source_snapshots=[run_id], source_table="_stream")
         seen_runs.add(run_id)
@@ -89,6 +102,14 @@ def windowed_counts(routed: DataFrame, window: str = "1 minute",
 
 def dedup_stream(df: DataFrame, fingerprint_col: str = "fingerprint",
                  watermark: str = "10 minutes") -> DataFrame:
-    """At-least-once → effectively-once: watermarked dropDuplicates on the
-    content fingerprint (the dedup ES gives the reference via ``_id``)."""
-    return df.withWatermark("ts", watermark).dropDuplicates([fingerprint_col, "ts"])
+    """At-least-once → effectively-once: watermarked dedup on the CONTENT
+    fingerprint alone (the dedup ES gives the reference via ``_id``).
+    ``dropDuplicatesWithinWatermark`` keys state on just the fingerprint —
+    including ``ts`` in the key (the pre-3.5 eviction idiom) would pass a
+    re-ingested event through whenever its timestamp was refreshed. The
+    operator is streaming-only, so a batch frame (the one-code-path test
+    mode) gets the same content-keyed semantics via dropDuplicates."""
+    if not df.isStreaming:
+        return df.dropDuplicates([fingerprint_col])
+    return (df.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark([fingerprint_col]))

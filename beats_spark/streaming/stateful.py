@@ -26,10 +26,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def _parse_limit(limit: str) -> float:
-    n, unit = str(limit).split("/")
-    per_sec = {"s": 1.0, "m": 60.0, "h": 3600.0}[unit]
-    return float(n) / per_sec  # tokens per second
+def _parse_limit(limit: str) -> tuple[float, float]:
+    """'N/unit' → (n, tokens_per_second); ValueError on bad unit/shape,
+    matching the batch rate_limit's validation (a bare KeyError from the
+    unit table gave no context)."""
+    try:
+        n_s, unit = str(limit).split("/")
+        n = float(n_s)
+    except ValueError:
+        raise ValueError(f"rate_limit: bad limit {limit!r} (want 'N/unit')")
+    per_sec = {"s": 1.0, "m": 60.0, "h": 3600.0}.get(unit)
+    if per_sec is None:
+        raise ValueError(f"rate_limit: unknown unit {unit!r} in {limit!r}")
+    return n, n / per_sec  # tokens per second
 
 
 def make_rate_limit_fn(limit: str, capacity: int | None = None,
@@ -37,8 +46,8 @@ def make_rate_limit_fn(limit: str, capacity: int | None = None,
     """Build the (key, batches, state) -> batches function for
     ``applyInPandasWithState``. Exposed separately so unit tests can drive
     it with a fake GroupState."""
-    rate = _parse_limit(limit)
-    cap = float(capacity if capacity is not None else max(1, int(limit.split("/")[0])))
+    n, rate = _parse_limit(limit)
+    cap = float(capacity) if capacity is not None else max(1.0, n)
 
     def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:

@@ -1056,3 +1056,35 @@ def test_xxh64_batch_skewed_lengths_chunked():
     got = xxh64_batch(vals, budget_bytes=1 << 14)
     want = np.array([xxh64(v) for v in vals], dtype=np.uint64)
     assert (got == want).all()
+
+
+def test_multiline_dotted_field_merges_nested(spark):
+    """A dotted `field` must write the merged text back into the nested
+    path — substituting only a same-named top-level column silently kept
+    just the first row's struct and dropped every continuation line."""
+    rows = [("c1", 0, ("Exception", "x")), ("c1", 1, ("  at Foo", "y")),
+            ("c1", 2, ("Next", "z"))]
+    out = run(
+        spark, rows,
+        "conv_id string, turn_idx int, parsed struct<msg:string,other:string>",
+        [{"multiline": {"field": "parsed.msg", "pattern": r"^\s",
+                        "match": "after", "partition_by": ["conv_id"],
+                        "order_by": ["turn_idx"]}}],
+    ).orderBy("turn_idx").collect()
+    got = [(r["parsed"]["msg"], r["parsed"]["other"]) for r in out]
+    assert got == [("Exception\n  at Foo", "x"), ("Next", "z")]
+
+
+def test_rate_limit_null_ts_passes_through(spark):
+    """Untimestamped rows belong to no window and must pass through (the
+    streaming token bucket's semantics) instead of being lumped into one
+    NULL-window group and dropped beyond the limit."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [("u1", base + dt.timedelta(seconds=i)) for i in range(8)]
+    rows += [("u1", None)] * 7
+    out = run(
+        spark, rows, "user string, ts timestamp",
+        [{"rate_limit": {"limit": "5/m", "fields": ["user"]}}],
+    ).collect()
+    assert sum(1 for r in out if r["ts"] is not None) == 5
+    assert sum(1 for r in out if r["ts"] is None) == 7

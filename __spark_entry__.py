@@ -27,16 +27,19 @@ _PREPPED: set[str] = set()
 def _prep(spark: SparkSession) -> None:
     """UTC + ship the package to python workers (pandas-UDF stages need it
     when the driver built its own bare SparkSession)."""
-    key = str(id(spark))
+    # keyed by applicationId, not id(spark): a new session can reuse a
+    # GC'd session's address and would silently skip the ship
+    key = spark.sparkContext.applicationId
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if key not in _PREPPED:
         from beats_spark.session import ship_package
 
         try:
             ship_package(spark)
+            _PREPPED.add(key)  # only a SUCCESSFUL ship marks the session
         except Exception:
-            pass  # already shipped / read-only context — pandas UDFs may still work
-        _PREPPED.add(key)
+            pass  # read-only context — pandas UDFs may still work; retried
+            # on the next _prep call
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,13 +61,13 @@ def _with_t(sql: str) -> str:
 _RX = r'^level=(.*?) caller=(.*?) msg="(.*?)" latency_ms=(\d+)$'
 
 
-def _parsed_sql_cols() -> str:
+def _parsed_sql_cols(latency_type: str = "INTEGER") -> str:
     return f"""
     nullif(regexp_extract(text, '{_RX}', 1), '') AS level,
     nullif(regexp_extract(text, '{_RX}', 2), '') AS caller,
     CASE WHEN regexp_matches(text, '{_RX}')
          THEN regexp_extract(text, '{_RX}', 3) END AS msg,
-    CAST(nullif(regexp_extract(text, '{_RX}', 4), '') AS INTEGER) AS latency
+    CAST(nullif(regexp_extract(text, '{_RX}', 4), '') AS {latency_type}) AS latency
     """
 
 
@@ -739,8 +742,6 @@ def oracle_sql() -> dict[str, str]:
     fp_ser = ("'|conv_id|' || conv_id || '|text|' || text || "
               "'|turn_idx|' || CAST(turn_idx AS VARCHAR) || '|'")
 
-    word_hash = "list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split({w}, ''), c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % 2147483647)"
-
     # -- portable polynomial-hash replicas of the ml.dedup/ml.similarity
     #    'poly' hash mode (see beats_spark/ml/dedup.py POLY_P): the SAME
     #    integer/double arithmetic as the Spark expressions, so MinHash,
@@ -752,6 +753,10 @@ def oracle_sql() -> dict[str, str]:
             "c -> CAST(ascii(c) AS BIGINT))), "
             f"(a, c) -> (a * {base} + c) % 2147483647)"
         )
+
+    # the doc_fingerprint word hash IS the char poly hash — derived, not
+    # duplicated, so the constants live in one place
+    word_hash = char_poly("{w}")
 
     # hyperplane bucket of a double-list column {v}: sign bit per plane,
     # coef(p,d) = (char_poly(decimal_string(p*16384+d+1)) % 2000 - 1000)/1000,
@@ -784,13 +789,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT conv_id, turn_idx, {_parsed_sql_cols()} FROM transcripts"
         ),
         "grok_parse": _with_t(
-            f"""SELECT conv_id, turn_idx,
-                nullif(regexp_extract(text, '{_RX}', 1), '') AS level,
-                nullif(regexp_extract(text, '{_RX}', 2), '') AS caller,
-                CASE WHEN regexp_matches(text, '{_RX}')
-                     THEN regexp_extract(text, '{_RX}', 3) END AS msg,
-                CAST(nullif(regexp_extract(text, '{_RX}', 4), '') AS BIGINT) AS latency
-                FROM transcripts"""
+            f"SELECT conv_id, turn_idx, "
+            f"{_parsed_sql_cols(latency_type='BIGINT')} FROM transcripts"
         ),
         "conditions_filter": _with_t(
             f""", p AS (SELECT *, {_parsed_sql_cols()} FROM transcripts)
@@ -991,8 +991,10 @@ def oracle_sql() -> dict[str, str]:
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a JOIN sh b
               ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.12
+            -- threshold on the ROUNDED jaccard, matching
+            -- ngram_jaccard_pairs (dedup.py filters round(jac,6) >= t)
+            WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.12
         """,
         # MinHash 'poly' replica: token char-hash ONCE → rolling polynomial
         # shingle hash (K=1000003 mod P, same fold as the Spark zip_with) →

@@ -75,7 +75,11 @@ def synthesize_transcripts(
     # round-robin ⇒ conv c (c≥1) receives r = c-1, c-1+others, ... so
     # r // others is its dense 0-based turn index
     turn_idx = F.when(is_hot, rid).otherwise(F.floor(r / F.lit(others))).cast("int")
-    conv_id = F.concat(F.lit("conv-"), F.lpad(conv_num.cast("string"), 6, "0"))
+    cs = conv_num.cast("string")
+    # pad-but-never-truncate: lpad TRUNCATES strings longer than the pad
+    # width, so a 7+-digit id would collide distinct conversations
+    conv_id = F.concat(F.lit("conv-"),
+                       F.when(F.length(cs) >= 6, cs).otherwise(F.lpad(cs, 6, "0")))
 
     role = _pick(rid, 3, ROLES)
     tool = F.when(
@@ -115,7 +119,7 @@ def synthesize_transcripts(
 # ---------------------------------------------------------------------------
 #
 # Mapping (must stay EXACTLY in sync between the two definitions below):
-#   conv_id  = 'conv-' || lpad(user_id, 6, '0')
+#   conv_id  = 'conv-' || lpad(user_id, 6, '0')  (pad only, never truncate)
 #   turn_idx = row_number() over (partition by user_id order by event_id) - 1
 #   role     = click→user, signup→user, view→assistant, purchase→tool,
 #              error→system
@@ -157,7 +161,13 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(well)
     w = Window.partitionBy("user_id").orderBy("event_id")
     return ev.select(
-        F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 6, "0")).alias("conv_id"),
+        # pad-but-never-truncate (see synthesize_transcripts): a 7-digit
+        # user_id must not collide into another user's conv_id
+        F.concat(F.lit("conv-"),
+                 F.when(F.length(F.col("user_id").cast("string")) >= 6,
+                        F.col("user_id").cast("string"))
+                 .otherwise(F.lpad(F.col("user_id").cast("string"), 6, "0"))
+                 ).alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         role.alias("role"),
         text.alias("text"),
@@ -171,7 +181,9 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRANSCRIPTS_SQL = """
 transcripts AS (
   SELECT
-    'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+    'conv-' || CASE WHEN length(CAST(user_id AS VARCHAR)) >= 6
+                    THEN CAST(user_id AS VARCHAR)
+                    ELSE lpad(CAST(user_id AS VARCHAR), 6, '0') END AS conv_id,
     CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INTEGER) AS turn_idx,
     CASE WHEN event_type IN ('click', 'signup') THEN 'user'
          WHEN event_type = 'view' THEN 'assistant'

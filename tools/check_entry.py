@@ -55,6 +55,19 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     fails = []
+    # a misspelled query name must not produce a false-green "0 failures"
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL: unknown query name(s) {sorted(unknown)} "
+              f"(known: {sorted(qs)})")
+        sys.exit(2)
+    # an oracle key orphaned by a query rename silently degrades the
+    # renamed query to rows-only — fail loudly on the drift
+    stale = set(oracles) - set(qs)
+    if stale:
+        print(f"FAIL: oracle_sql() keys without a queries() entry: "
+              f"{sorted(stale)}")
+        sys.exit(2)
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -80,15 +93,23 @@ def main():
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
         elif frame_hash(sdf) != frame_hash(odf):
             problems.append("value-hash mismatch")
-            # show a diff sample
-            key = sorted(sdf.columns)
-            a = sdf[key].astype(str).apply(lambda r: "\x1f".join(r), axis=1)
-            b = odf[key].astype(str).apply(lambda r: "\x1f".join(r), axis=1)
-            only_a = set(a) - set(b)
-            only_b = set(b) - set(a)
-            for x in list(only_a)[:3]:
+            # diff sample: MULTISET difference over the same norm_cell
+            # stringification the hash uses — set() difference printed
+            # nothing for pure duplicate-count mismatches, and astype(str)
+            # rendered nulls differently from the hash ('None'/'nan' vs
+            # '<null>'), pointing the debugger at phantom rows
+            from collections import Counter
+
+            def norm_rows(pdf):
+                key = sorted(pdf.columns)
+                return Counter(
+                    "\x1f".join(norm_cell(v) for v in row)
+                    for row in pdf[key].itertuples(index=False))
+
+            ca, cb = norm_rows(sdf), norm_rows(odf)
+            for x in list((ca - cb).elements())[:3]:
                 print(f"   spark-only: {x[:200]!r}")
-            for x in list(only_b)[:3]:
+            for x in list((cb - ca).elements())[:3]:
                 print(f"   duck-only:  {x[:200]!r}")
         if problems:
             fails.append(name)

@@ -245,17 +245,34 @@ class IcebergCatalog:
     def _resolve_intent(self, table: str, run_id: str) -> None:
         """Recovery half of adopt_directory's crash window: if an intent
         for ``run_id`` is still recorded, the crash happened before the
-        run-id stamp. If the table's TAIL snapshot is unattributed it can
-        only be the crashed add_files commit (every write path in this
-        catalog stamps its snapshots) — attribute it so rollback sees it;
-        either way clear the intent."""
+        run-id stamp. Scan the WHOLE current ancestry (not just the tail —
+        a commit landing between the crashed add_files and recovery leaves
+        the orphan mid-chain) for unattributed snapshots; every write path
+        in this catalog stamps its snapshots, so an unattributed one can
+        only be a crashed add_files commit.
+
+        - exactly one orphan → attribute it to ``run_id`` so rollback and
+          replay-dedup see it, then clear the intent;
+        - no orphan → the add_files never committed; replay is safe, clear
+          the intent;
+        - multiple orphans → ambiguous (two crashed adopts); leave the
+          intent recorded and raise so the batch is not silently replayed
+          into a double-append."""
         if run_id not in self._run_intents(table):
             return
         snaps = self.snapshots(table)
-        if snaps and snaps[-1].run_id is None:
+        orphans = [s for s in snaps if s.run_id is None]
+        if len(orphans) > 1:
+            raise RuntimeError(
+                f"iceberg recovery: {len(orphans)} unattributed snapshots "
+                f"in {table!r} ancestry while resolving run-intent "
+                f"{run_id!r} — cannot attribute safely; intent left in "
+                "place for manual resolution"
+            )
+        if orphans:
             self.spark.sql(
                 f"ALTER TABLE {self._t(table)} SET TBLPROPERTIES "
-                f"('run-id.{snaps[-1].snapshot_id}' = '{sql_str(run_id)}')"
+                f"('run-id.{orphans[0].snapshot_id}' = '{sql_str(run_id)}')"
             )
         self.spark.sql(
             f"ALTER TABLE {self._t(table)} UNSET TBLPROPERTIES IF EXISTS "

@@ -431,10 +431,20 @@ def uri_parts(cfg: dict[str, Any]) -> Stage:
                 raise ValueError(f"uri_parts: missing field {fld!r}")
             col = get_path(df, fld).cast("string")
             has_scheme = col.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
-            full = F.when(has_scheme, col).otherwise(
-                F.concat(F.lit("http://__relative__"), col))
+            # scheme-less inputs parse against a synthetic base. Inputs not
+            # starting with '/' (e.g. 'example.com/x', '../a') get a '/'
+            # separator inserted so they don't glue onto the base host, and
+            # the synthetic leading '/' is stripped back off the PATH below
+            # — matching ES's java.net.URI uri_parts, whose relative-URI
+            # path is the whole input up to '?'/'#'.
+            rooted = col.startswith("/")
+            full = F.when(has_scheme, col).otherwise(F.concat(
+                F.lit("http://__relative__"),
+                F.when(rooted, col).otherwise(F.concat(F.lit("/"), col))))
             nullify = lambda c: F.when(c != "", c)  # noqa: E731
-            path = F.parse_url(full, F.lit("PATH"))
+            raw_path = F.parse_url(full, F.lit("PATH"))
+            path = F.when(has_scheme | rooted, raw_path).otherwise(
+                F.regexp_replace(raw_path, "^/", ""))
             query = F.parse_url(full, F.lit("QUERY"))
             host = F.when(has_scheme, F.parse_url(full, F.lit("HOST")))
             # port/user_info only exist in absolute URIs; fragment (REF)

@@ -139,7 +139,14 @@ def community_id(cfg: dict[str, Any]) -> Stage:
             # them that many times blows up codegen. As attribute refs the
             # downstream expressions stay tiny (CollapseProject keeps
             # expensive multi-referenced aliases staged, SPARK-36718).
-            tp = "__cid_"
+            # free-name probe (case-insensitive, like event._tmp_name): a
+            # user column named __cid_sp must not be overwritten-then-dropped
+            names = ("proto", "sp", "dp", "sb", "db", "oneway")
+            existing = {c.lower() for c in df.columns}
+            tp, i = "__cid_", 0
+            while any((tp + s).lower() in existing for s in names):
+                i += 1
+                tp = f"__cid{i}_"
             df = df.withColumns({
                 tp + "proto": proto,
                 tp + "sp": sp,
@@ -173,7 +180,6 @@ def community_id(cfg: dict[str, Any]) -> Stage:
             ).otherwise(head)
             cid = F.concat(F.lit("1:"), F.base64(F.unhex(F.sha1(payload))))
             out = with_path(df, target, cid)
-            return out.drop(*[tp + c for c in
-                              ("proto", "sp", "dp", "sb", "db", "oneway")])
+            return out.drop(*[tp + c for c in names])
 
     return CommunityID()

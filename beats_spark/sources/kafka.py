@@ -42,19 +42,22 @@ def kafka_reader_options(cfg: dict[str, Any]) -> dict[str, str]:
 
 def kafka_writer_frame(df: DataFrame, *, topic_col: str = "_sink",
                        key_fmtstr: str | None = None,
-                       hash_fields: list[str] | None = None) -> DataFrame:
+                       hash_fields: list[str] | None = None,
+                       num_partitions: int | None = None) -> DataFrame:
     """Shape a routed frame for ``df.write.format("kafka")``: columns
-    (topic, key, value[, partition_key]). value = JSON of the payload
+    (topic, key, value[, partition]). value = JSON of the payload
     (codec json, outputs/codec/json).
 
     A configured ``key_fmtstr`` ALWAYS becomes the message key — beats
     keys the message with the fmtstr even when ``partition.hash`` is also
     set (client.go:190-202; partition.go hashes the fields independently
-    of the key). With both configured the hash fields are emitted as a
-    separate ``partition_key`` column for a custom partitioner / explicit
-    ``partition`` assignment; only when no key is configured do the hash
-    fields double as the key (Kafka's default partitioner hashes the key,
-    reproducing hash partitioning without broker metadata)."""
+    of the key). With both configured, ``partition.hash`` semantics need an
+    explicit ``partition`` int column (the Spark Kafka sink only honors
+    topic/key/value/headers/partition): pass ``num_partitions`` and the
+    hash fields become ``partition = pmod(hash(fields), num_partitions)``.
+    Only when no key is configured do the hash fields double as the key
+    (Kafka's default partitioner hashes the key, reproducing hash
+    partitioning without broker metadata)."""
     from beats_spark.fmtstr import compile_fmtstr
 
     payload_cols = [c for c in df.columns if not c.startswith("_")]
@@ -75,7 +78,18 @@ def kafka_writer_frame(df: DataFrame, *, topic_col: str = "_sink",
         value.alias("value"),
     ]
     if key_fmtstr and hash_key is not None:
-        cols.append(hash_key.alias("partition_key"))
+        if num_partitions is None:
+            # an inert side column would read as implemented behavior; the
+            # sink ignores anything but topic/key/value/headers/partition
+            raise ValueError(
+                "kafka: key_fmtstr and hash_fields both set — partition "
+                "assignment must be explicit; pass num_partitions so the "
+                "hash fields become a 'partition' column the sink honors"
+            )
+        cols.append(
+            F.pmod(F.xxhash64(hash_key), F.lit(int(num_partitions)))
+            .cast("int").alias("partition")
+        )
     return df.select(*cols)
 
 

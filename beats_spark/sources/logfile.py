@@ -1,5 +1,5 @@
-"""The log-file input: glob → lines → (decode) → (multiline) → limit →
-filters → (ndjson), as one declarative plan.
+"""The log-file input: glob → lines → (decode) → (ndjson) → (multiline) →
+limit → filters, as one declarative plan.
 
 Reference path: filebeat/input/log/input.go:213 (``Run`` scans paths,
 ``matchesFile`` :363 applies include/exclude file filters) → harvester
@@ -117,44 +117,13 @@ def read_log_files(
         w = Window.partitionBy("__path").orderBy(F.monotonically_increasing_id())
         df = df.withColumn("__offset", F.row_number().over(w).cast("long") - 1)
 
-    if multiline:
-        from beats_spark.processors import build_stage
-
-        cfg = {"field": "message", "partition_by": ["__path"],
-               "order_by": ["__offset"], **multiline}
-        df = build_stage("multiline", cfg).apply(df)
-
-    # limit and line filters run AFTER multiline, on the JOINED event —
-    # the reference reader chain is ... → multiline → limit
-    # (harvester.go:640-707), and shouldExportLine applies include/exclude
-    # to the combined multiline message (harvester.go:497-514): filtering
-    # raw lines first would truncate joined events to their matching lines
-    # and re-glue continuations onto the wrong neighbor.
-    if max_bytes:
-        # filebeat's limit is BYTES: truncate the utf-8 encoding, not a
-        # character count (a multi-byte line would otherwise blow the
-        # budget 3-4×); a rune split at the cut renders U+FFFD like the
-        # reference's raw byte cut renders invalid bytes downstream
-        df = df.withColumn(
-            "message",
-            F.decode(
-                F.substring(F.encode("message", "utf-8"), 1, int(max_bytes)),
-                "utf-8",
-            ),
-        )
-
-    # include_lines keeps an event matching ANY pattern; exclude_lines
-    # drops an event matching ANY pattern (MatchAny) — chained per-pattern
-    # filters would AND the includes
-    if include_lines:
-        inc = F.lit(False)
-        for pat in include_lines:
-            inc = inc | F.col("message").rlike(pat)
-        df = df.filter(inc)
-    for pat in exclude_lines or []:
-        df = df.filter(~F.col("message").rlike(pat))
-
     if json is not None or json_schema is not None:
+        # ndjson parses PER LINE and runs BEFORE multiline — the reference
+        # chain is line → encode → json → strip_newline → multiline
+        # (harvester.go:694 readjson.NewJSONReader, :700 multiline.New).
+        # When both are configured, each raw line's JSON is parsed here and
+        # the multiline stage below keeps the FIRST event's parsed fields
+        # on join (its min_by group-first), matching filebeat.
         jcfg = json or {}
         unknown = set(jcfg) - {"keys_under_root", "overwrite_keys",
                                "add_error_key"}
@@ -212,6 +181,43 @@ def read_log_files(
                 df = df.drop("__json")
         else:
             df = df.withColumnRenamed("__json", "json")
+
+    if multiline:
+        from beats_spark.processors import build_stage
+
+        cfg = {"field": "message", "partition_by": ["__path"],
+               "order_by": ["__offset"], **multiline}
+        df = build_stage("multiline", cfg).apply(df)
+
+    # limit and line filters run AFTER multiline, on the JOINED event —
+    # the reference reader chain is ... → multiline → limit
+    # (harvester.go:640-707), and shouldExportLine applies include/exclude
+    # to the combined multiline message (harvester.go:497-514): filtering
+    # raw lines first would truncate joined events to their matching lines
+    # and re-glue continuations onto the wrong neighbor.
+    if max_bytes:
+        # filebeat's limit is BYTES: truncate the utf-8 encoding, not a
+        # character count (a multi-byte line would otherwise blow the
+        # budget 3-4×); a rune split at the cut renders U+FFFD like the
+        # reference's raw byte cut renders invalid bytes downstream
+        df = df.withColumn(
+            "message",
+            F.decode(
+                F.substring(F.encode("message", "utf-8"), 1, int(max_bytes)),
+                "utf-8",
+            ),
+        )
+
+    # include_lines keeps an event matching ANY pattern; exclude_lines
+    # drops an event matching ANY pattern (MatchAny) — chained per-pattern
+    # filters would AND the includes
+    if include_lines:
+        inc = F.lit(False)
+        for pat in include_lines:
+            inc = inc | F.col("message").rlike(pat)
+        df = df.filter(inc)
+    for pat in exclude_lines or []:
+        df = df.filter(~F.col("message").rlike(pat))
 
     # harvester envelope; a promoted json 'log' object contributes its
     # fields alongside file/offset (the reference DeepUpdates the log map)

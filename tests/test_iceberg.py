@@ -120,3 +120,67 @@ def test_sql_literal_escaping():
     assert sql_str("it's") == "it''s"
     with pytest.raises(ValueError):
         rollback_sql("wh", "beats", "t", "1); DROP TABLE x; --")
+
+
+class _FakeSpark:
+    """Records sql() calls; answers nothing (the catalog methods under test
+    are monkeypatched to avoid real metadata queries)."""
+
+    def __init__(self):
+        self.calls = []
+
+    def sql(self, q):
+        self.calls.append(q)
+        return None
+
+
+def _recovery_catalog(monkeypatch, intents, snaps):
+    cat = IcebergCatalog.__new__(IcebergCatalog)
+    cat.spark = _FakeSpark()
+    cat.catalog = "wh"
+    cat.namespace = "beats"
+    monkeypatch.setattr(IcebergCatalog, "_run_intents",
+                        lambda self, table: intents)
+    monkeypatch.setattr(IcebergCatalog, "snapshots",
+                        lambda self, table: snaps)
+    return cat
+
+
+def test_resolve_intent_attributes_mid_chain_orphan(monkeypatch):
+    """A commit landing AFTER the crashed add_files leaves the orphan
+    mid-chain; recovery must still find and attribute it (tail-only
+    scanning would clear the intent and double-append on replay)."""
+    snaps = [snap("1", "r1", None), snap("2", None, "1"),
+             snap("3", "r9", "2")]
+    cat = _recovery_catalog(monkeypatch, {"rX": "/stage"}, snaps)
+    cat._resolve_intent("t", "rX")
+    sqls = cat.spark.calls
+    assert any("'run-id.2' = 'rX'" in q for q in sqls)
+    assert any("run-intent.rX" in q and "UNSET" in q for q in sqls)
+
+
+def test_resolve_intent_no_orphan_clears_intent(monkeypatch):
+    # add_files never committed: replay is safe, intent cleared, nothing
+    # attributed
+    snaps = [snap("1", "r1", None), snap("2", "r2", "1")]
+    cat = _recovery_catalog(monkeypatch, {"rX": "/stage"}, snaps)
+    cat._resolve_intent("t", "rX")
+    sqls = cat.spark.calls
+    assert not any("SET TBLPROPERTIES" in q and "run-id." in q for q in sqls)
+    assert any("run-intent.rX" in q and "UNSET" in q for q in sqls)
+
+
+def test_resolve_intent_ambiguous_orphans_raise(monkeypatch):
+    # two unattributed snapshots: cannot attribute safely; the intent must
+    # stay recorded (no UNSET) and recovery must refuse
+    snaps = [snap("1", None, None), snap("2", None, "1")]
+    cat = _recovery_catalog(monkeypatch, {"rX": "/stage"}, snaps)
+    with pytest.raises(RuntimeError, match="unattributed"):
+        cat._resolve_intent("t", "rX")
+    assert cat.spark.calls == []
+
+
+def test_resolve_intent_noop_without_intent(monkeypatch):
+    cat = _recovery_catalog(monkeypatch, {}, [snap("1", None, None)])
+    cat._resolve_intent("t", "rX")
+    assert cat.spark.calls == []

@@ -1021,6 +1021,40 @@ def test_uri_parts_port_fragment_userinfo(spark):
     assert rel["fragment"] == "frag" and rel["port"] is None
 
 
+def test_uri_parts_unrooted_relative_inputs(spark):
+    """A scheme-less input not starting with '/' is a relative URI whose
+    path is the whole input (ES uri_parts via java.net.URI): it must not
+    be glued onto the synthetic base host."""
+    out = run(
+        spark,
+        [("example.test/x?q=1",), ("../a",), ("a/b.css",)],
+        "u string",
+        [{"uri_parts": {"field": "u"}}],
+    ).collect()
+    got = {r["u"]: r["url"] for r in out}
+    assert got["example.test/x?q=1"]["path"] == "example.test/x"
+    assert got["example.test/x?q=1"]["query"] == "q=1"
+    assert got["example.test/x?q=1"]["domain"] is None
+    assert got["../a"]["path"] == "../a"
+    assert got["a/b.css"]["path"] == "a/b.css"
+    assert got["a/b.css"]["extension"] == "css"
+
+
+def test_community_id_user_cid_columns_survive(spark):
+    """Staging columns are collision-guarded: a user column named
+    __cid_sp must come out of the stage untouched (not silently
+    overwritten-then-dropped)."""
+    schema = ("source struct<ip:string, port:int>, "
+              "destination struct<ip:string, port:int>, "
+              "network struct<transport:string>, "
+              "__cid_sp string")
+    df = spark.createDataFrame(
+        [(("10.0.0.1", 1000), ("10.0.0.2", 80), ("tcp",), "keepme")], schema)
+    out = run_df(spark, df, [{"community_id": {}}]).collect()[0]
+    assert out["__cid_sp"] == "keepme"
+    assert out["network"]["community_id"].startswith("1:")
+
+
 def test_grok_bare_groups_do_not_shift_captures(spark):
     """Literal `(...)` groups in module patterns (nginx access style) must
     not shift the group→field mapping; unnamed refs still expose their

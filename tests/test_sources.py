@@ -311,8 +311,56 @@ def test_kafka_writer_key_fmtstr_wins_over_hash(spark):
         [("s1", "agent-7", "hostA", "x")],
         "_sink string, agent string, host string, payload string")
     out = kafka_writer_frame(df, key_fmtstr="%{[agent]}",
-                             hash_fields=["host"]).collect()[0]
+                             hash_fields=["host"],
+                             num_partitions=12).collect()[0]
     # beats keys the message with the fmtstr even when partition.hash is
-    # configured; the hash fields ride separately for the partitioner
+    # configured; the hash fields become an explicit partition assignment
+    # (the only column shape the Spark Kafka sink honors)
     assert out["key"] == "agent-7"
-    assert out["partition_key"] == "hostA"
+    assert 0 <= out["partition"] < 12
+    # same hash fields → same partition (deterministic assignment)
+    df2 = spark.createDataFrame(
+        [("s2", "agent-9", "hostA", "y")],
+        "_sink string, agent string, host string, payload string")
+    out2 = kafka_writer_frame(df2, key_fmtstr="%{[agent]}",
+                              hash_fields=["host"],
+                              num_partitions=12).collect()[0]
+    assert out2["partition"] == out["partition"]
+
+
+def test_kafka_writer_hash_with_key_requires_num_partitions(spark):
+    from beats_spark.sources.kafka import kafka_writer_frame
+
+    df = spark.createDataFrame(
+        [("s1", "agent-7", "hostA", "x")],
+        "_sink string, agent string, host string, payload string")
+    with pytest.raises(ValueError, match="num_partitions"):
+        kafka_writer_frame(df, key_fmtstr="%{[agent]}", hash_fields=["host"])
+
+
+def test_logfile_json_parses_per_line_before_multiline(spark, tmp_path):
+    """Reference chain order: line -> encode -> json -> multiline
+    (harvester.go:694,700). With both configured, each raw line's JSON is
+    parsed individually and the joined event keeps the FIRST line's parsed
+    fields; feeding the joined blob to the JSON parser (the r3 regression)
+    would fail parsing and tag every merged event with add_error_key."""
+    p = tmp_path / "j.ndjson"
+    p.write_text(
+        '{"k": 1, "s": "head"}\n'
+        '{"k": 2, "s": " cont"}\n'
+        '{"k": 3, "s": "next"}\n'
+    )
+    df = read_log_files(
+        spark, str(tmp_path), glob="j.ndjson",
+        json={"add_error_key": True}, json_schema="k int, s string",
+        multiline={"pattern": r'"s": " ', "match": "after"},
+    )
+    rows = sorted(df.collect(), key=lambda r: r["log"]["offset"])
+    assert len(rows) == 2
+    merged, single = rows[0], rows[1]
+    assert merged["json"]["k"] == 1  # first line's parsed fields kept
+    assert merged["json"]["s"] == "head"
+    assert '"k": 2' in merged["message"]  # raw lines joined
+    assert single["json"]["k"] == 3
+    # every line parsed cleanly -> no add_error_key on the merged event
+    assert merged["error"] is None and single["error"] is None

@@ -663,6 +663,99 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"))
 
 
+# UA-string templates shared by the Spark builder and the DuckDB oracle so
+# neither side can drift. V/W/M are turn-derived version numbers.
+_UA_FF_PRE = "Mozilla/5.0 (Macintosh; Intel Mac OS X 10.12; rv:"
+_UA_FF_MID = ".0) Gecko/20100101 Firefox/"
+_UA_CR_PRE = ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+              "(KHTML, like Gecko) Chrome/")
+_UA_CR_SUF = ".0.3538.102 Safari/537.36"
+_UA_BOT = "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"
+_UA_IPH = ("Mozilla/5.0 (iPhone; CPU iPhone OS 15_4 like Mac OS X) "
+           "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/15.4 "
+           "Mobile/15E148 Safari/604.1")
+_UA_AND = ("Mozilla/5.0 (Linux; Android 12; Pixel 6) AppleWebKit/537.36 "
+           "(KHTML, like Gecko) Chrome/99.0.4844.58 Mobile Safari/537.36")
+
+
+def q_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_agent processor (the ES ingest stage every access-log module
+    declares, e.g. filebeat/module/nginx/access/ingest/pipeline.yml:123-125)
+    — uap-core-shaped regex dictionary as one Catalyst CASE chain. UA
+    strings are BUILT from transcript columns across six families (Firefox/
+    Mac, Chrome/Win10, curl, Googlebot, Mobile Safari/iOS, Chrome Mobile/
+    Android) so the oracle asserts known ground truth per family."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    t = _transcripts(spark, sf_dir)
+    m = F.pmod(F.col("turn_idx"), F.lit(6))
+    v = (F.lit(10) + F.pmod(F.col("turn_idx"), F.lit(90))).cast("string")
+    w = (F.lit(40) + F.pmod(F.col("turn_idx"), F.lit(60))).cast("string")
+    mm = F.pmod(F.col("turn_idx"), F.lit(80)).cast("string")
+    ua = (
+        F.when(m == 0, F.concat(F.lit(_UA_FF_PRE), v, F.lit(_UA_FF_MID),
+                                v, F.lit(".0")))
+        .when(m == 1, F.concat(F.lit(_UA_CR_PRE), w, F.lit(_UA_CR_SUF)))
+        .when(m == 2, F.concat(F.lit("curl/7."), mm, F.lit(".1")))
+        .when(m == 3, F.lit(_UA_BOT))
+        .when(m == 4, F.lit(_UA_IPH))
+        .otherwise(F.lit(_UA_AND))
+    )
+    df = t.withColumn("ua", ua)
+    out = apply_chain(df, build_chain([
+        {"user_agent": {"field": "ua", "target_field": "user_agent"}},
+    ]))
+    return out.select(
+        "conv_id", "turn_idx", "ua",
+        F.col("user_agent.name").alias("ua_name"),
+        F.col("user_agent.version").alias("ua_version"),
+        F.col("user_agent.os.name").alias("os_name"),
+        F.col("user_agent.os.version").alias("os_version"),
+        F.col("user_agent.os.full").alias("os_full"),
+        F.col("user_agent.device.name").alias("device"),
+    )
+
+
+def q_enrich_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """enrich_cidr — longest-prefix CIDR match against a broadcast dim (the
+    geoip join shape, nginx pipeline.yml:126-137). IPs are BUILT from
+    turn_idx across seven classes (nested v4 prefixes /8 ⊂ /16 ⊂ /24, an
+    uncovered range, and nested v6 /32 ⊂ /64) so the oracle asserts the
+    known longest-prefix winner per class."""
+    from beats_spark.processors import apply_chain, build_chain
+    from beats_spark.processors.enrich import register_lookup
+
+    t = _transcripts(spark, sf_dir)
+    register_lookup(
+        "entry_geo",
+        lambda: spark.createDataFrame(
+            [("10.0.0.0/8", "corp"), ("10.1.0.0/16", "lab"),
+             ("10.1.2.0/24", "annex"), ("192.168.0.0/16", "home"),
+             ("2001:db8::/32", "docrange"), ("2001:db8:0:1::/64", "docsub")],
+            "cidr string, region string"))
+    m = F.pmod(F.col("turn_idx"), F.lit(7))
+    t1 = F.pmod(F.col("turn_idx"), F.lit(200)).cast("string")
+    t2 = F.pmod(F.col("turn_idx") * 3, F.lit(250)).cast("string")
+    h = F.lower(F.hex(F.lit(1) + F.pmod(F.col("turn_idx"), F.lit(9999))))
+    ip = (
+        F.when(m == 0, F.concat(F.lit("10.200."), t1, F.lit("."), t2))
+        .when(m == 1, F.concat(F.lit("10.1.3."), t2))
+        .when(m == 2, F.concat(F.lit("10.1.2."), t2))
+        .when(m == 3, F.concat(F.lit("192.168."), t1, F.lit("."), t2))
+        .when(m == 4, F.concat(F.lit("172.16."), t1, F.lit("."), t2))
+        .when(m == 5, F.concat(F.lit("2001:db8:ffff::"), h))
+        .otherwise(F.concat(F.lit("2001:db8:0:1::"), h))
+    )
+    df = t.withColumn("ip", ip)
+    out = apply_chain(df, build_chain([
+        {"enrich_cidr": {"lookup": "entry_geo", "on": "ip",
+                         "target": "geo"}},
+    ]))
+    return out.select(
+        "conv_id", "turn_idx", "ip",
+        F.col("geo.region").alias("region"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -696,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_flush": q_multiline_flush,
         "syslog_parse": q_syslog_parse,
         "registered_domain": q_registered_domain,
+        "user_agent": q_user_agent,
+        "enrich_cidr": q_enrich_cidr,
         "windowed_counts": q_windowed_counts,
         "rate_limit": q_rate_limit,
         "enrich_lookup": q_enrich_lookup,
@@ -899,6 +994,61 @@ def oracle_sql() -> dict[str, str]:
                  CASE turn_idx % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
                       WHEN 2 THEN 'github.io' ELSE 'unknowntld' END
                  AS registered_domain
+               FROM transcripts"""
+        ),
+        # ground truth for the built UA strings: six families, versions
+        # derived from turn_idx exactly like the Spark builder
+        "user_agent": _with_t(
+            f"""SELECT conv_id, turn_idx,
+               CASE turn_idx % 6
+                 WHEN 0 THEN '{_UA_FF_PRE}' || CAST(10 + turn_idx % 90 AS VARCHAR)
+                      || '{_UA_FF_MID}' || CAST(10 + turn_idx % 90 AS VARCHAR) || '.0'
+                 WHEN 1 THEN '{_UA_CR_PRE}' || CAST(40 + turn_idx % 60 AS VARCHAR)
+                      || '{_UA_CR_SUF}'
+                 WHEN 2 THEN 'curl/7.' || CAST(turn_idx % 80 AS VARCHAR) || '.1'
+                 WHEN 3 THEN '{_UA_BOT}'
+                 WHEN 4 THEN '{_UA_IPH}'
+                 ELSE '{_UA_AND}' END AS ua,
+               CASE turn_idx % 6 WHEN 0 THEN 'Firefox' WHEN 1 THEN 'Chrome'
+                 WHEN 2 THEN 'curl' WHEN 3 THEN 'Googlebot'
+                 WHEN 4 THEN 'Mobile Safari' ELSE 'Chrome Mobile' END AS ua_name,
+               CASE turn_idx % 6
+                 WHEN 0 THEN CAST(10 + turn_idx % 90 AS VARCHAR) || '.0'
+                 WHEN 1 THEN CAST(40 + turn_idx % 60 AS VARCHAR) || '.0.3538.102'
+                 WHEN 2 THEN '7.' || CAST(turn_idx % 80 AS VARCHAR) || '.1'
+                 WHEN 3 THEN '2.1' WHEN 4 THEN '15.4'
+                 ELSE '99.0.4844.58' END AS ua_version,
+               CASE turn_idx % 6 WHEN 0 THEN 'Mac OS X' WHEN 1 THEN 'Windows'
+                 WHEN 4 THEN 'iOS' WHEN 5 THEN 'Android' END AS os_name,
+               CASE turn_idx % 6 WHEN 0 THEN '10.12' WHEN 1 THEN '10'
+                 WHEN 4 THEN '15.4' WHEN 5 THEN '12' END AS os_version,
+               CASE turn_idx % 6 WHEN 0 THEN 'Mac OS X 10.12'
+                 WHEN 1 THEN 'Windows 10' WHEN 4 THEN 'iOS 15.4'
+                 WHEN 5 THEN 'Android 12' END AS os_full,
+               CASE turn_idx % 6 WHEN 0 THEN 'Mac' WHEN 3 THEN 'Spider'
+                 WHEN 4 THEN 'iPhone' WHEN 5 THEN 'Pixel 6'
+                 ELSE 'Other' END AS device
+               FROM transcripts"""
+        ),
+        # ground truth for the built IPs: the longest-prefix winner is known
+        # per turn_idx class (nested /8 ⊂ /16 ⊂ /24, uncovered, v6 /32 ⊂ /64)
+        "enrich_cidr": _with_t(
+            """SELECT conv_id, turn_idx,
+               CASE turn_idx % 7
+                 WHEN 0 THEN '10.200.' || CAST(turn_idx % 200 AS VARCHAR)
+                      || '.' || CAST((turn_idx * 3) % 250 AS VARCHAR)
+                 WHEN 1 THEN '10.1.3.' || CAST((turn_idx * 3) % 250 AS VARCHAR)
+                 WHEN 2 THEN '10.1.2.' || CAST((turn_idx * 3) % 250 AS VARCHAR)
+                 WHEN 3 THEN '192.168.' || CAST(turn_idx % 200 AS VARCHAR)
+                      || '.' || CAST((turn_idx * 3) % 250 AS VARCHAR)
+                 WHEN 4 THEN '172.16.' || CAST(turn_idx % 200 AS VARCHAR)
+                      || '.' || CAST((turn_idx * 3) % 250 AS VARCHAR)
+                 WHEN 5 THEN '2001:db8:ffff::' || lower(to_hex(1 + turn_idx % 9999))
+                 ELSE '2001:db8:0:1::' || lower(to_hex(1 + turn_idx % 9999))
+               END AS ip,
+               CASE turn_idx % 7 WHEN 0 THEN 'corp' WHEN 1 THEN 'lab'
+                 WHEN 2 THEN 'annex' WHEN 3 THEN 'home'
+                 WHEN 5 THEN 'docrange' WHEN 6 THEN 'docsub' END AS region
                FROM transcripts"""
         ),
         # ground truth for the built-then-parsed syslog lines: the oracle

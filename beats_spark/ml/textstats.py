@@ -115,17 +115,23 @@ def rolling_fingerprint(col: Column, window: int = 5) -> Column:
     global min). Deterministic integer math only."""
     toks = words(col)
     k = F.size(toks) - F.lit(window - 1)
-    shingle_hash = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
-        lambda i: F.aggregate(
-            F.slice(toks, i + 1, window),
-            F.lit(0).cast("long"),
-            lambda acc, t: F.pmod(acc * _FP_B + _word_hash(t), F.lit(_FP_P)),
-        ),
-    )
+    # tokens are char-hashed ONCE; each shingle hash is a polynomial fold of
+    # the precomputed token hashes via zip_with over shifted slices (the same
+    # rolling combine as MinHash, dedup.py) — the previous
+    # transform-over-indices lambda re-sliced and re-char-hashed every token
+    # `window` times per row (interpreted HOFs have no common-subexpression
+    # elimination), O(window × tokens) char hashing instead of O(tokens).
+    th = F.transform(toks, _word_hash)
+    kk = F.greatest(k, F.lit(0))
+    hs = F.slice(th, 1, kk)
+    for j in range(1, window):
+        hs = F.zip_with(
+            hs, F.slice(th, 1 + j, kk),
+            lambda acc, h: F.pmod(acc * _FP_B + h, F.lit(_FP_P)),
+        )
     whole = F.aggregate(
-        toks,
+        th,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * _FP_B + _word_hash(t), F.lit(_FP_P)),
+        lambda acc, h: F.pmod(acc * _FP_B + h, F.lit(_FP_P)),
     )
-    return F.when(k > 0, F.array_min(shingle_hash)).otherwise(whole)
+    return F.when(k > 0, F.array_min(hs)).otherwise(whole)

@@ -23,3 +23,4 @@ from beats_spark.processors import misc  # noqa: F401,E402
 from beats_spark.processors import script  # noqa: F401,E402
 from beats_spark.processors import stateful  # noqa: F401,E402
 from beats_spark.processors import syslog  # noqa: F401,E402
+from beats_spark.processors import uaparse  # noqa: F401,E402

@@ -116,10 +116,16 @@ def expand_grok(expr: str, definitions: dict[str, str] | None = None,
 
 @register("grok")
 def grok(cfg: dict[str, Any]) -> Stage:
-    """Config: ``pattern`` (grok expression), ``field`` (default message),
-    ``target_prefix`` (default "" = root), ``pattern_definitions``,
-    ``anchor`` (default True: full-line match like ES ingest grok)."""
-    pattern = cfg["pattern"]
+    """Config: ``pattern`` (grok expression) or ``patterns`` (ordered list —
+    first matching pattern wins, the ES ingest-grok multi-pattern surface
+    used by e.g. filebeat/module/apache/access/ingest/pipeline.yml), ``field``
+    (default message), ``target_prefix`` (default "" = root),
+    ``pattern_definitions``, ``anchor`` (default True: full-line match like
+    ES ingest grok)."""
+    pats: list[str] = (cfg["patterns"] if "patterns" in cfg
+                       else [cfg["pattern"]])
+    if not pats:
+        raise ValueError("grok: patterns list is empty")
     src = cfg.get("field", "message")
     target = cfg.get("target_prefix", "")
     definitions = cfg.get("pattern_definitions")
@@ -131,11 +137,22 @@ def grok(cfg: dict[str, Any]) -> Stage:
     # match of the empty string is legitimately "").
     null_empty = cfg.get("null_empty_captures", False)
 
-    regex, fields = expand_grok(pattern, definitions)
-    if anchored:
-        regex = f"^(?:{regex})$"
-    if not fields:
-        raise ValueError("grok: pattern has no named captures")
+    regexes: list[str] = []
+    # field name → (first declared type, [(pattern_idx, group_idx)])
+    fmap: dict[str, tuple[str, list[tuple[int, int]]]] = {}
+    for j, p in enumerate(pats):
+        regex, fields = expand_grok(p, definitions)
+        if anchored:
+            regex = f"^(?:{regex})$"
+        if not fields:
+            raise ValueError("grok: pattern has no named captures")
+        regexes.append(regex)
+        for i, (name, typ) in enumerate(fields):
+            prev = fmap.get(name)
+            if prev is None:
+                fmap[name] = (typ, [(j, i + 1)])
+            else:
+                prev[1].append((j, i + 1))
 
     class Grok(Stage):
         def apply(self, df: DataFrame, cond: Column | None = None) -> DataFrame:
@@ -143,43 +160,91 @@ def grok(cfg: dict[str, Any]) -> Stage:
             if not has_path(df.schema, src):
                 raise ValueError(f"grok: field {src!r} not in schema")
             col = get_path(df, src).cast("string")
-            matched = col.rlike(regex)
-            cols: dict[str, Column] = {}
-            for i, (name, typ) in enumerate(fields):
-                v = F.regexp_extract(col, regex, i + 1)
-                if null_empty:
-                    v = F.nullif(v, F.lit(""))
-                v = F.when(matched, v)
+            # Stage every regex evaluation ONCE behind temp columns (match
+            # flag per pattern + raw extract per capture site): the combine
+            # layer below (nullif / exclusive selectors / coalesce) would
+            # otherwise re-embed each multi-KB regex 2× per field — nullif
+            # duplicates its operand — and whole-stage codegen fuses all the
+            # per-field projections into one generated function that blows
+            # the JVM's 64 KB method limit and falls back to the
+            # interpreter (observed on the 4-pattern apache module grok).
+            existing = {c.lower() for c in df.columns}
+            tp, i = "__grok_", 0
+            while any(x.lower().startswith(tp) for x in existing):
+                i += 1
+                tp = f"__grok{i}_"
+            staged: dict[str, Column] = {
+                f"{tp}m{j}": F.coalesce(col.rlike(rx), F.lit(False))
+                for j, rx in enumerate(regexes)
+            }
+            for name, (_typ, sites) in fmap.items():
+                for j, gi in sites:
+                    staged[f"{tp}x{j}_{gi}"] = F.regexp_extract(
+                        col, regexes[j], gi)
+            df = df.withColumns(staged)
+            # mutually exclusive pattern selectors: pattern j applies only
+            # when no earlier pattern matched (ES tries in order)
+            sels: list[Column] = []
+            prior: Column = F.lit(False)
+            for j in range(len(regexes)):
+                h = F.col(f"{tp}m{j}")
+                sels.append(h & ~prior)
+                prior = prior | h
+            matched = prior
+            # per field: value from the winning pattern (NULL from all
+            # others — selectors are exclusive), written iff the winning
+            # pattern declares the field
+            cols: dict[str, tuple[Column, Column]] = {}
+            for name, (typ, sites) in fmap.items():
+                parts: list[Column] = []
+                written: Column = F.lit(False)
+                for j, gi in sites:
+                    v: Column = F.col(f"{tp}x{j}_{gi}")
+                    if null_empty:
+                        v = F.nullif(v, F.lit(""))
+                    parts.append(F.when(sels[j], v))
+                    written = written | sels[j]
+                val = F.coalesce(*parts) if len(parts) > 1 else parts[0]
                 if typ:
-                    v = v.try_cast(_GROK_TYPES.get(typ, "string"))
-                cols[name] = v
-            failed = F.coalesce(~matched, F.lit(True))
-            ok = F.coalesce(matched, F.lit(False))
+                    val = val.try_cast(_GROK_TYPES.get(typ, "string"))
+                if cond is not None:
+                    written = cond & written
+                cols[name] = (val, written)
+            failed = ~matched
             if cond is not None:
                 failed = cond & failed
-                ok = cond & ok
             # non-matching / condition-false rows keep any PRE-EXISTING
             # destination value (a fallback grok chain over two formats
-            # must not null out what the previous grok extracted)
+            # must not null out what the previous grok extracted); with
+            # multiple patterns, fields absent from the winning pattern
+            # also keep their old value (ES writes only the winner's
+            # captures)
             if target:
-                payload = F.struct(*[c.alias(n) for n, c in cols.items()])
-                if has_path(df.schema, target):
-                    payload = F.when(ok, payload).otherwise(
-                        get_path(df, target))
+                old = (get_path(df, target) if has_path(df.schema, target)
+                       else None)
+                payload = F.struct(*[
+                    F.when(w, v).otherwise(
+                        get_path(df, f"{target}.{n}")).alias(n)
+                    for n, (v, w) in cols.items()])
+                any_written = F.lit(False)
+                for _, w in cols.values():
+                    any_written = any_written | w
+                if old is not None:
+                    payload = F.when(any_written, payload).otherwise(old)
                 else:
-                    payload = F.when(ok, payload)
+                    payload = F.when(any_written, payload)
                 df = with_path(df, target, payload)
             else:
-                for n, c in cols.items():
-                    old = (get_path(df, n) if has_path(df.schema, n)
-                           else F.lit(None))
-                    df = with_path(df, n, F.when(ok, c).otherwise(old))
+                for n, (v, w) in cols.items():
+                    prev_v = (get_path(df, n) if has_path(df.schema, n)
+                              else F.lit(None))
+                    df = with_path(df, n, F.when(w, v).otherwise(prev_v))
             # failure is always visible in log.flags (like dissect);
             # error.message only without ignore_failure
             df = append_flag(df, "grok_parsing_error", cond=failed)
             if not ignore_failure:
                 from beats_spark.event import set_error_message
                 df = set_error_message(df, failed, "grok: no pattern matched")
-            return df
+            return df.drop(*staged)
 
     return Grok()

@@ -72,6 +72,19 @@ def get_spark(
         # into compression CPU, which scales with cores — while ALSO being
         # the right lake codec at 100 TB (smaller files, cheaper scans).
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Dynamic partition pruning OFF by default: DPP's plan walk
+        # (PartitionPruning.getFilterableTableScan → AliasHelper.trimAliases)
+        # re-inlines aliases through every projection level below a join;
+        # on this library's deep processor chains (each stage = staged
+        # projections, module chains stack 20-30 of them) that walk is
+        # super-linear and empirically OOMs an 8 GiB driver on a 7-row frame
+        # (nginx module chain + 2 enrich_cidr broadcast joins). DPP could
+        # never prune those joins anyway — it requires the join key to BE a
+        # partition column of a file scan, and every join this library plans
+        # is a broadcast enrich/band join on a COMPUTED key. Star-schema
+        # users joining partitioned facts on raw partition columns can
+        # re-enable via extra_conf.
+        .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

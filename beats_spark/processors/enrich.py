@@ -93,16 +93,38 @@ def _mask_hex_const(hexcol: Column, plen: int) -> Column:
     return body
 
 
-def _mask_hex_col(hexcol: Column, plen: Column) -> Column:
-    """Same masking with a per-row prefix length (dim side)."""
-    nib = F.floor(plen / 4).cast("int")
-    rem = (plen % 4).cast("int")
-    step = (F.when(rem == 1, 8).when(rem == 2, 4)
-            .when(rem == 3, 2).otherwise(16)).cast("int")
-    nibble = F.conv(hexcol.substr(nib + 1, F.lit(1)), 16, 10).cast("int")
-    body = hexcol.substr(F.lit(1), nib)
-    return F.when(rem == 0, body).otherwise(
-        F.concat(body, F.conv(nibble - nibble % step, 10, 16)))
+def _prepare_cidr_dim(rows, cidr_field: str, payload_fields: list[str]):
+    """Driver-side dim preparation: parse each CIDR with stdlib ipaddress
+    and emit {(family, prefix_len, masked-hex-key): payload-tuple},
+    first-wins on duplicates (hash-lookup semantics). The key format is
+    EXACTLY what the event side's _mask_hex_const computes from
+    F.hex(_ip_bytes(ip)): uppercase hex prefix, whole nibbles verbatim +
+    the next nibble masked. Invalid CIDR rows are skipped, matching the
+    old Spark-side NULL-key filter; strict=False masks host bits like the
+    Spark-side masking did."""
+    import ipaddress
+
+    prepared: dict[tuple[str, int, str], tuple] = {}
+    for r in rows:
+        c = r[cidr_field]
+        if c is None:
+            continue
+        try:
+            net = ipaddress.ip_network(str(c).strip(), strict=False)
+        except ValueError:
+            continue
+        fam = "4" if net.version == 4 else "6"
+        plen = net.prefixlen
+        hx = net.network_address.packed.hex().upper()
+        nib, rem = divmod(plen, 4)
+        key = hx[:nib]
+        if rem:
+            step = 16 >> rem
+            nibble = int(hx[nib], 16)
+            key += format(nibble - nibble % step, "X")
+        prepared.setdefault((fam, plen, key),
+                            tuple(r[f] for f in payload_fields))
+    return prepared
 
 
 @register("enrich_cidr")
@@ -118,17 +140,21 @@ def enrich_cidr(cfg: dict[str, Any]) -> Stage:
     "cidr"), ``fields`` (list or rename map, default all non-cidr),
     ``target`` (default the lookup name), ``ignore_missing``.
 
-    Shape: each dim CIDR becomes (family, prefix_len, masked-hex-key); the
-    event ip is hex-encoded ONCE, then for each distinct prefix length in
-    the dim (collected at plan time — the dim is small by contract, like
-    the PSL table in registered_domain) the event computes its constant-
-    length masked key and LEFT BROADCAST-joins that length's slice of the
-    dim, longest first; the payload is the first non-null match. All
-    map-side: at 100 TB this is ≤ address-bits broadcast hash joins and
-    ZERO shuffles of the event stream — no explode amplification, no
-    groupBy to pick the longest match. IPv4 and IPv6 dims can coexist
-    (keys are family-tagged). Duplicate dim rows at the same (family,
-    prefix, key) keep the first (dropDuplicates), matching hash-lookup
+    Shape: the dim is collected and parsed ON THE DRIVER with stdlib
+    ipaddress into per-prefix-length (masked-hex-key → payload) slices —
+    the dim is broadcast-sized by contract, the same plan-time-collect
+    contract as the PSL table in registered_domain, and a driver loop
+    costs microseconds/row where the previous Spark-side parse paid a
+    ~20 s fixed analysis/codegen job on the giant column-level IPv6 tree
+    PER STAGE APPLY (measured r4, 6-row dim). The event ip is hex-encoded
+    ONCE, then for each distinct prefix length the event computes its
+    constant-length masked key and LEFT BROADCAST-joins that length's
+    literal slice, longest first; the payload is the first non-null
+    match. All map-side: at 100 TB this is ≤ address-bits broadcast hash
+    joins and ZERO shuffles of the event stream — no explode
+    amplification, no groupBy to pick the longest match. IPv4 and IPv6
+    dims coexist (keys are family-tagged). Duplicate dim rows at the same
+    (family, prefix, key) keep the first, matching hash-lookup
     first-wins."""
     lookup_name = cfg.get("lookup")
     table_path = cfg.get("table")
@@ -161,40 +187,22 @@ def enrich_cidr(cfg: dict[str, Any]) -> Stage:
             cols = fields or [c for c in dim.columns if c != cidr_col]
             pairs = (list(cols.items()) if isinstance(cols, dict)
                      else [(c, c) for c in cols])
+            if cidr_col not in dim.columns:
+                raise ValueError(
+                    f"enrich_cidr: dim has no {cidr_col!r} column")
 
-            # F.get (not []) — a bare address row has no '/' and ANSI mode
-            # turns the missing index into a hard error.
-            # Stage the hex behind a projection boundary FIRST: the IPv6
-            # parse inside _ip_bytes is a large expression tree, and the
-            # masking/family/length expressions below reference it several
-            # times — inlined, the dim plan balloons to tens of MiB (same
-            # staging discipline as flowhash.py's __cid_* columns).
-            ip_part = F.get(F.split(F.col(cidr_col), "/"), 0)
-            dim = dim.withColumn("__hex", F.hex(_ip_bytes(ip_part)))
-            dim_hex = F.col("__hex")
-            fam = F.when(F.length(dim_hex) == 8, "4").otherwise("6")
-            bits = F.when(fam == "4", 32).otherwise(128)
-            plen = F.coalesce(
-                F.get(F.split(F.col(cidr_col), "/"), 1).try_cast("int"), bits)
-            dim = dim.select(
-                fam.alias("__fam"), plen.alias("__plen"),
-                _mask_hex_col(dim_hex, plen).alias("__key"),
-                F.struct(*[F.col(s).alias(d) for s, d in pairs])
-                .alias("__payload"),
-            ).where(F.col("__key").isNotNull() & (F.col("__plen") >= 0)
-                    & (F.col("__plen") <= bits))
-            # dedup ONCE (first-wins like a hash lookup) and cut lineage:
-            # each per-length broadcast build below would otherwise re-run
-            # the whole parse+dedup subtree, one dim-side shuffle per slice
-            dim = (dim.dropDuplicates(["__fam", "__plen", "__key"])
-                   .localCheckpoint())
-            # distinct (family, prefix_len): tiny plan-time job on the
-            # broadcast-sized dim (same contract as the PSL collect in
-            # registered_domain)
-            lengths = sorted(
-                ((r["__fam"], r["__plen"])
-                 for r in dim.select("__fam", "__plen").distinct().collect()),
-                key=lambda t: -t[1])
+            # driver-side dim prep: one collect of the broadcast-sized dim
+            # (plan-time, like the PSL collect in registered_domain), then
+            # pure-Python CIDR parsing/masking — no Spark job, no giant
+            # column-level IPv6 parse tree on the dim side
+            raw = dim.select(cidr_col, *[s for s, _ in pairs]).collect()
+            prepared = _prepare_cidr_dim(raw, cidr_col, [s for s, _ in pairs])
+            lengths = sorted({(f_, p_) for f_, p_, _ in prepared},
+                             key=lambda t: -t[1])
+
+            from pyspark.sql import types as T
+            payload_t = T.StructType([
+                T.StructField(d, dim.schema[s].dataType) for s, d in pairs])
 
             ip = get_path(df, on).cast("string")
             existing = {c.lower() for c in df.columns}
@@ -209,10 +217,12 @@ def enrich_cidr(cfg: dict[str, Any]) -> Stage:
 
             hits: list[Column] = []
             for idx, (f_, l_) in enumerate(lengths):
-                slice_ = (dim.where((F.col("__fam") == f_)
-                                    & (F.col("__plen") == l_))
-                          .select(F.col("__key").alias(f"{tp}k{idx}"),
-                                  F.col("__payload").alias(f"{tp}p{idx}")))
+                slice_schema = T.StructType([
+                    T.StructField(f"{tp}k{idx}", T.StringType(), False),
+                    T.StructField(f"{tp}p{idx}", payload_t)])
+                slice_ = spark.createDataFrame(
+                    [(k, p) for (f2, p2, k), p in prepared.items()
+                     if f2 == f_ and p2 == l_], slice_schema)
                 ev_key = F.when(ev_fam == f_, _mask_hex_const(ev_hex, l_))
                 df = df.join(F.broadcast(slice_),
                              ev_key == F.col(f"{tp}k{idx}"), "left")

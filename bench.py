@@ -28,7 +28,8 @@ Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 BENCH_TURNS (default 16_000_000), BENCH_REPS (default 3/worker,
 early-exit when a rep is within 15% of the best committed min),
 BENCH_LEVELS (default "8,32"), BENCH_SKIP_SCALING=1 to skip scaling,
-BENCH_SKIP_CURVE=1 to skip the two-SF scale curve,
+BENCH_SKIP_CURVE=1 to skip the scale curve, BENCH_CURVE_MULT (default 16 —
+synthesized third curve point at mult× sf_hi; 1 disables),
 BENCH_QUERY_REPS/_MAX (default 3/6 headline blocks),
 BENCH_ROUNDS/BENCH_MAX_ROUNDS (default 2/8 scaling rounds),
 BENCH_WINDOW_FACTOR (default 1.5 — throttle detection threshold).
@@ -60,10 +61,13 @@ HEADLINE = [
     "multiline_merge",
     "rate_limit",
     "enrich_lookup",
+    "user_agent",
+    "enrich_cidr",
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk",
     "text_quality",
+    "doc_fingerprint",
 ]
 
 
@@ -91,6 +95,37 @@ DETECTOR_QUERIES = [
 ]
 
 
+def _cpu_probe(reps: int = 2, threads: int = 16) -> float:
+    """~1 s JVM-free host-speed probe: a fixed MULTI-THREADED sha256
+    workload (16 threads × 96 MiB; hashlib releases the GIL) timed
+    min-of-reps. It must be multi-core because the sandbox throttle is a
+    CPU-quota squeeze over ALL cores: a single-thread probe reads ~1.4×
+    while a 32-thread Spark job runs 5× slower (measured r4) — aggregate
+    throughput is the signal that tracks the scaling job. Used to DEFER
+    the scaling epoch until the host is back near its best observed speed
+    (best probe this run AND across committed artifacts)."""
+    import hashlib
+
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+
+    buf = np.arange(4 * 1024 * 1024, dtype=np.int64).tobytes()  # 32 MiB
+
+    def work(_):
+        h = hashlib.sha256()
+        for _ in range(3):
+            h.update(buf)
+        return h.hexdigest()
+
+    best = float("inf")
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            list(ex.map(work, range(threads)))
+            best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _historical_bests(sf: float | str | None = None) -> dict:
     """Best recorded per-query / per-scaling-level seconds across all
     committed BENCH_r*.json artifacts — the 'best historical min' the
@@ -102,12 +137,16 @@ def _historical_bests(sf: float | str | None = None) -> dict:
     here = os.path.dirname(os.path.abspath(__file__))
     qbest: dict[str, float] = {}
     sbest: dict[int, float] = {}
+    pbest: float | None = None
     for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
             with open(p) as fh:
                 parsed = json.load(fh).get("parsed") or {}
         except (OSError, json.JSONDecodeError):
             continue
+        cp = parsed.get("cpu_probe_best")
+        if isinstance(cp, (int, float)):
+            pbest = cp if pbest is None else min(pbest, cp)
         if sf is None or parsed.get("sf") == sf:
             for k, v in (parsed.get("queries") or {}).items():
                 if isinstance(v, (int, float)):
@@ -122,14 +161,67 @@ def _historical_bests(sf: float | str | None = None) -> dict:
             cands += [x for x in (sc.get(all_key) or []) if isinstance(x, (int, float))]
             if cands:
                 sbest[c] = min([sbest[c], *cands]) if c in sbest else min(cands)
-    return {"queries": qbest, "scaling": sbest}
+    return {"queries": qbest, "scaling": sbest, "cpu_probe": pbest}
 
 
-def _run_scale_curve(spark, sf_lo: str, sf_hi: str, reps: int = 2) -> dict:
-    """Two-scale-factor curve for the candidate-generation ml ops in their
+def _synth_curve_point(spark, sf_hi: str, mult: int, out_dir: str) -> None:
+    """Synthesize a curve point ``mult``× larger than sf_hi by unioning
+    deterministically PERTURBED copies of its documents/embeddings tables.
+    Every token of copy i gets an ``-ci`` suffix (one regexp_replace pass):
+    WITHIN a copy the doc-vs-doc shingle structure is exactly preserved
+    (all tokens shift identically), while ACROSS copies every shingle
+    differs — so near-dup density per row stays that of the real table
+    instead of degenerating into mult-way near-duplicate cliques (a
+    character rotation fails this: word shingles are preserved across the
+    seam and each doc's copies all collide). Embeddings are element-rotated
+    by a copy-distinct offset (near-zero cosine across copies, exact
+    structure within)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_hi}/documents.parquet") \
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    embs = spark.read.parquet(f"{sf_hi}/embeddings.parquet") \
+        .withColumn("vec_id", F.col("vec_id").cast("string"))
+    d_parts, e_parts = [docs], [embs]
+    for i in range(1, mult):
+        d_parts.append(
+            docs.withColumn(
+                "doc_id", F.concat(F.col("doc_id"), F.lit(f"_c{i}"))
+            ).withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(\S+)",
+                                         rf"$1-c{i}")))
+        emb = F.col("embedding")
+        k = F.lit(1) + F.pmod(F.lit(i - 1), F.greatest(F.size(emb) - 1,
+                                                       F.lit(1)))
+        e_parts.append(
+            embs.withColumn(
+                "vec_id", F.concat(F.col("vec_id"), F.lit(f"_c{i}"))
+            ).withColumn(
+                "embedding", F.concat(F.slice(emb, k + 1, F.size(emb) - k),
+                                      F.slice(emb, F.lit(1), k))))
+    par = spark.sparkContext.defaultParallelism
+    base = d_parts[0]
+    for p in d_parts[1:]:
+        base = base.unionByName(p)
+    base.repartition(par).write.mode("overwrite") \
+        .parquet(f"{out_dir}/documents.parquet")
+    ebase = e_parts[0]
+    for p in e_parts[1:]:
+        ebase = ebase.unionByName(p)
+    ebase.repartition(par).write.mode("overwrite") \
+        .parquet(f"{out_dir}/embeddings.parquet")
+
+
+def _run_scale_curve(spark, dirs: list[str], reps: int = 2) -> dict:
+    """Multi-point scale curve for the candidate-generation ml ops in their
     PRODUCTION (xx-hash) configuration: if candidate generation were
-    quadratic, time_ratio would approach data_ratio²; banded/bucketed plans
-    keep it near data_ratio."""
+    quadratic, time ratios would approach data_ratio²; banded/bucketed
+    plans keep them near data_ratio. The exponent of record
+    (``scaling_exponent``) is the log-log slope between the two LARGEST
+    points — at the small points fixed plan-build/JIT overhead dominates
+    the data term (the r3 lesson: a 500→5000-doc pair measured simhash at
+    −0.05); ``exponents_pairwise`` keeps every consecutive slope for the
+    curve's shape."""
     from beats_spark.ml.dedup import (embedding_neardup_pairs,
                                       minhash_lsh_pairs, simhash_pairs)
 
@@ -148,34 +240,37 @@ def _run_scale_curve(spark, sf_lo: str, sf_hi: str, reps: int = 2) -> dict:
             threshold=0.35, num_planes=6)),
     }
     counts: dict[tuple[str, str], int] = {}
-    for d in (sf_lo, sf_hi):
+    for d in dirs:
         for t in ("documents", "embeddings"):
             counts[(d, t)] = spark.read.parquet(f"{d}/{t}.parquet").count()
 
     curve: dict[str, dict] = {}
     for name, (table, fn) in ops.items():
         pts = []
-        for d in (sf_lo, sf_hi):
+        for d in dirs:
             best, pairs = float("inf"), 0
+            fn(d).count()  # warm: plan build + JIT outside the clock
             for _ in range(reps):
                 t0 = time.perf_counter()
                 pairs = fn(d).count()
                 best = min(best, time.perf_counter() - t0)
             pts.append({"sf_dir": d, "rows_in": counts[(d, table)],
                         "pairs_out": pairs, "sec": round(best, 3)})
-        data_ratio = pts[1]["rows_in"] / max(pts[0]["rows_in"], 1)
-        time_ratio = pts[1]["sec"] / max(pts[0]["sec"], 1e-9)
+        exps = []
+        for a, b in zip(pts, pts[1:]):
+            dr = b["rows_in"] / max(a["rows_in"], 1)
+            tr = b["sec"] / max(a["sec"], 1e-9)
+            exps.append(round(math.log(tr) / math.log(dr), 2)
+                        if dr > 1 and tr > 0 else None)
         curve[name] = {
             "points": pts,
-            "data_ratio": round(data_ratio, 2),
-            "time_ratio": round(time_ratio, 2),
-            # log-log slope: 1.0 = linear, 2.0 = quadratic
-            "scaling_exponent": round(
-                math.log(time_ratio) / math.log(data_ratio), 2)
-                if data_ratio > 1 and time_ratio > 0 else None,
+            "exponents_pairwise": exps,
+            # log-log slope between the two largest points, where the data
+            # term dominates fixed overhead
+            "scaling_exponent": exps[-1] if exps else None,
         }
         print(f"# curve {name}: {curve[name]['points']} "
-              f"exp={curve[name]['scaling_exponent']}", file=sys.stderr)
+              f"exps={exps}", file=sys.stderr)
     return curve
 
 
@@ -277,6 +372,7 @@ def main() -> None:
     from beats_spark.session import get_spark
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    probe_best = _cpu_probe()
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
 
@@ -328,6 +424,7 @@ def main() -> None:
             times.get("pipeline_e2e_fanout", e2e_sec), e2e_sec)
         print(f"# b{block} pipeline_e2e_fanout: {e2e_sec}s", file=sys.stderr)
 
+        probe_best = min(probe_best, _cpu_probe(reps=1))
         canary = sum(times[q] for q in canary_qs if q in times)
         window_ok_headline = canary_ref is None or canary <= canary_ref * factor
         if block >= blocks_min and (
@@ -353,7 +450,21 @@ def main() -> None:
     if os.environ.get("BENCH_SKIP_CURVE") != "1":
         lo = os.environ.get("BENCH_CURVE_LO", "/root/testdata/sf0.01")
         if os.path.isdir(lo) and os.path.isdir(SF_DIR) and lo != SF_DIR:
-            result["scale_curve"] = _run_scale_curve(spark, lo, SF_DIR)
+            dirs = [lo, SF_DIR]
+            # third, larger point (synthesized mult× sf_hi) so the exponent
+            # of record is taken where the data term dominates
+            mult = int(os.environ.get("BENCH_CURVE_MULT", "16"))
+            synth = None
+            if mult > 1 and time.monotonic() - t_start < budget * 0.5:
+                shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+                synth = tempfile.mkdtemp(prefix="bench_curve_hi_", dir=shm)
+                _synth_curve_point(spark, SF_DIR, mult, synth)
+                dirs.append(synth)
+            try:
+                result["scale_curve"] = _run_scale_curve(spark, dirs)
+            finally:
+                if synth:
+                    shutil.rmtree(synth, ignore_errors=True)
     spark.stop()
 
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
@@ -374,7 +485,32 @@ def main() -> None:
         eff = None
         window_ok_scaling = True
         rnd = 0
+        probes_at_scaling: list[float] = []
+        pref_hist = hist.get("cpu_probe")
         while rnd < max_rounds:
+            # opportunistic epoch: a scaling round burns 1-5 min of JVM
+            # time, so before spending it, check the ~1 s CPU probe and
+            # SLEEP through a throttle window instead (the r3 lesson: both
+            # recorded epochs ran 5× over the historical mins). Reference =
+            # best probe this run and across committed artifacts; the defer
+            # gives up at 80% budget so a permanently-throttled host still
+            # finalizes (window_ok=false) instead of stalling.
+            while True:
+                p = _cpu_probe()
+                probes_at_scaling.append(round(p, 3))
+                probe_best = min(probe_best, p)
+                pref = min([x for x in (pref_hist, probe_best)
+                            if x is not None])
+                if p <= pref * 1.35:
+                    break
+                if time.monotonic() - t_start > budget * 0.8:
+                    print(f"# probe still {p:.2f}s vs best {pref:.2f}s at "
+                          "80% budget; running scaling anyway",
+                          file=sys.stderr)
+                    break
+                print(f"# host throttled (probe {p:.2f}s vs best "
+                      f"{pref:.2f}s); deferring scaling 60s", file=sys.stderr)
+                time.sleep(60)
             for cores in levels:
                 env = dict(os.environ)
                 if cores in sref:
@@ -449,8 +585,10 @@ def main() -> None:
                 "throughput_n": round(thr_n, 1),
                 "throughput_4n": round(thr_4n, 1),
                 "efficiency": round((thr_4n / thr_n) / (hi / lo), 3),
+                "cpu_probes": probes_at_scaling,
             }
 
+    result["cpu_probe_best"] = round(probe_best, 3)
     print(json.dumps(result))
 
 

@@ -251,14 +251,18 @@ class IcebergCatalog:
         in this catalog stamps its snapshots, so an unattributed one can
         only be a crashed add_files commit.
 
-        - exactly one orphan → attribute it to ``run_id`` so rollback and
-          replay-dedup see it, then clear the intent;
+        - exactly one orphan AND this is the only pending intent →
+          attribute it to ``run_id`` so rollback and replay-dedup see it,
+          then clear the intent;
         - no orphan → the add_files never committed; replay is safe, clear
           the intent;
-        - multiple orphans → ambiguous (two crashed adopts); leave the
+        - multiple orphans, OR an orphan with multiple pending intents →
+          ambiguous (which crashed adopt owns which snapshot?); leave the
           intent recorded and raise so the batch is not silently replayed
-          into a double-append."""
-        if run_id not in self._run_intents(table):
+          into a double-append (or another run's batch deleted under this
+          run's name by a later rollback)."""
+        intents = self._run_intents(table)
+        if run_id not in intents:
             return
         snaps = self.snapshots(table)
         orphans = [s for s in snaps if s.run_id is None]
@@ -268,6 +272,15 @@ class IcebergCatalog:
                 f"in {table!r} ancestry while resolving run-intent "
                 f"{run_id!r} — cannot attribute safely; intent left in "
                 "place for manual resolution"
+            )
+        if orphans and len(intents) > 1:
+            raise RuntimeError(
+                f"iceberg recovery: {len(intents)} pending run-intents "
+                f"({sorted(intents)}) but one unattributed snapshot in "
+                f"{table!r} — attributing it to {run_id!r} could claim "
+                "another crashed run's commit (and a later rollback would "
+                "delete that run's batch under this run's name); intents "
+                "left in place for manual resolution"
             )
         if orphans:
             self.spark.sql(

@@ -206,9 +206,10 @@ def enrich_cidr(cfg: dict[str, Any]) -> Stage:
 
             ip = get_path(df, on).cast("string")
             existing = {c.lower() for c in df.columns}
+            names = ["hex"] + [f"{kp}{x}" for x in range(len(lengths))
+                               for kp in ("k", "p")]
             tp, i = "__cidr_", 0
-            while any(f"{tp}{x}".lower() in existing
-                      for x in ["hex", *range(len(lengths))]):
+            while any(f"{tp}{x}".lower() in existing for x in names):
                 i += 1
                 tp = f"__cidr{i}_"
             df = df.withColumn(tp + "hex", F.hex(_ip_bytes(ip)))
@@ -223,7 +224,12 @@ def enrich_cidr(cfg: dict[str, Any]) -> Stage:
                 slice_ = spark.createDataFrame(
                     [(k, p) for (f2, p2, k), p in prepared.items()
                      if f2 == f_ and p2 == l_], slice_schema)
-                ev_key = F.when(ev_fam == f_, _mask_hex_const(ev_hex, l_))
+                # the NULL-hex guard matters for /0 dim rows: their masked
+                # key is the constant '' (independent of the hex column),
+                # so without it a catch-all ::/0 or 0.0.0.0/0 row would
+                # "enrich" rows whose ip is NULL or unparseable
+                ev_key = F.when((ev_fam == f_) & ev_hex.isNotNull(),
+                                _mask_hex_const(ev_hex, l_))
                 df = df.join(F.broadcast(slice_),
                              ev_key == F.col(f"{tp}k{idx}"), "left")
                 hits.append(F.col(f"{tp}p{idx}"))

@@ -138,8 +138,11 @@ def grok(cfg: dict[str, Any]) -> Stage:
     null_empty = cfg.get("null_empty_captures", False)
 
     regexes: list[str] = []
-    # field name → (first declared type, [(pattern_idx, group_idx)])
-    fmap: dict[str, tuple[str, list[tuple[int, int]]]] = {}
+    # field name → [(pattern_idx, group_idx, declared type)] — type kept
+    # PER SITE: ES ingest grok converts per-pattern, so a field typed long
+    # in one pattern and untyped in another casts only where declared
+    # (coalesce then widens to the common type)
+    fmap: dict[str, list[tuple[int, int, str]]] = {}
     for j, p in enumerate(pats):
         regex, fields = expand_grok(p, definitions)
         if anchored:
@@ -148,11 +151,7 @@ def grok(cfg: dict[str, Any]) -> Stage:
             raise ValueError("grok: pattern has no named captures")
         regexes.append(regex)
         for i, (name, typ) in enumerate(fields):
-            prev = fmap.get(name)
-            if prev is None:
-                fmap[name] = (typ, [(j, i + 1)])
-            else:
-                prev[1].append((j, i + 1))
+            fmap.setdefault(name, []).append((j, i + 1, typ))
 
     class Grok(Stage):
         def apply(self, df: DataFrame, cond: Column | None = None) -> DataFrame:
@@ -173,15 +172,22 @@ def grok(cfg: dict[str, Any]) -> Stage:
             while any(x.lower().startswith(tp) for x in existing):
                 i += 1
                 tp = f"__grok{i}_"
-            staged: dict[str, Column] = {
+            flags = {
                 f"{tp}m{j}": F.coalesce(col.rlike(rx), F.lit(False))
                 for j, rx in enumerate(regexes)
             }
-            for name, (_typ, sites) in fmap.items():
-                for j, gi in sites:
-                    staged[f"{tp}x{j}_{gi}"] = F.regexp_extract(
-                        col, regexes[j], gi)
-            df = df.withColumns(staged)
+            df = df.withColumns(flags)
+            # extracts gated on the (already-staged, attribute-ref) match
+            # flag: a pattern that did not match skips its regex scans
+            # entirely — on a mostly-single-format corpus that saves
+            # (patterns−1) × capture-sites full-regex scans per row
+            xcols: dict[str, Column] = {}
+            for name, sites in fmap.items():
+                for j, gi, _typ in sites:
+                    xcols[f"{tp}x{j}_{gi}"] = F.when(
+                        F.col(f"{tp}m{j}"),
+                        F.regexp_extract(col, regexes[j], gi))
+            df = df.withColumns(xcols)
             # mutually exclusive pattern selectors: pattern j applies only
             # when no earlier pattern matched (ES tries in order)
             sels: list[Column] = []
@@ -195,18 +201,30 @@ def grok(cfg: dict[str, Any]) -> Stage:
             # others — selectors are exclusive), written iff the winning
             # pattern declares the field
             cols: dict[str, tuple[Column, Column]] = {}
-            for name, (typ, sites) in fmap.items():
+            for name, sites in fmap.items():
+                by_pat: dict[int, list[tuple[int, str]]] = {}
+                for j, gi, typ in sites:
+                    by_pat.setdefault(j, []).append((gi, typ))
                 parts: list[Column] = []
                 written: Column = F.lit(False)
-                for j, gi in sites:
-                    v: Column = F.col(f"{tp}x{j}_{gi}")
-                    if null_empty:
-                        v = F.nullif(v, F.lit(""))
+                for j, slist in by_pat.items():
+                    # several sites of the SAME field inside one pattern is
+                    # the alternation idiom (?:%{IP:host}|%{HOSTNAME:host}):
+                    # the PARTICIPATING branch wins (non-participating
+                    # groups extract ''), not first-declared
+                    cands = [F.nullif(F.col(f"{tp}x{j}_{gi}"), F.lit(""))
+                             for gi, _ in slist]
+                    v = cands[0] if len(cands) == 1 else F.coalesce(*cands)
+                    if not null_empty:
+                        # a matched row whose capture is genuinely empty
+                        # stays '' (the opt-in ""→NULL is null_empty's job)
+                        v = F.coalesce(v, F.lit(""))
+                    typ = next((t for _, t in slist if t), "")
+                    if typ:
+                        v = v.try_cast(_GROK_TYPES.get(typ, "string"))
                     parts.append(F.when(sels[j], v))
                     written = written | sels[j]
                 val = F.coalesce(*parts) if len(parts) > 1 else parts[0]
-                if typ:
-                    val = val.try_cast(_GROK_TYPES.get(typ, "string"))
                 if cond is not None:
                     written = cond & written
                 cols[name] = (val, written)
@@ -245,6 +263,6 @@ def grok(cfg: dict[str, Any]) -> Stage:
             if not ignore_failure:
                 from beats_spark.event import set_error_message
                 df = set_error_message(df, failed, "grok: no pattern matched")
-            return df.drop(*staged)
+            return df.drop(*flags, *xcols)
 
     return Grok()

@@ -144,7 +144,6 @@ def read_log_files(
             F.col("message"), full_schema,
             {"columnNameOfCorruptRecord": "__corrupt"},
         )
-        keys_under_root = jcfg.get("keys_under_root", False)
         add_error_key = jcfg.get("add_error_key", False)
         df = df.withColumn("__jfull", parsed)
         bad = F.col("__jfull.__corrupt").isNotNull()
@@ -166,7 +165,23 @@ def read_log_files(
                 )),
             )
         df = df.drop("__jfull")
-        if keys_under_root:
+
+    if multiline:
+        from beats_spark.processors import build_stage
+
+        cfg = {"field": "message", "partition_by": ["__path"],
+               "order_by": ["__offset"], **multiline}
+        df = build_stage("multiline", cfg).apply(df)
+
+    if json is not None or json_schema is not None:
+        # key promotion runs AFTER multiline: the reference merges parsed
+        # keys into the event at BUILD time (jsontransform.WriteJSONKeys),
+        # after the reader chain joined raw lines — promoting earlier would
+        # let a JSON 'message' key replace the raw line and feed the
+        # multiline pattern extracted values instead of line text. The
+        # joined event keeps the FIRST line's parsed fields (__json rides
+        # through the multiline agg as a group-first column).
+        if jcfg.get("keys_under_root", False):
             overwrite = jcfg.get("overwrite_keys", False)
             for n in names:
                 # 'log' would collide with the harvester envelope added
@@ -181,13 +196,6 @@ def read_log_files(
                 df = df.drop("__json")
         else:
             df = df.withColumnRenamed("__json", "json")
-
-    if multiline:
-        from beats_spark.processors import build_stage
-
-        cfg = {"field": "message", "partition_by": ["__path"],
-               "order_by": ["__offset"], **multiline}
-        df = build_stage("multiline", cfg).apply(df)
 
     # limit and line filters run AFTER multiline, on the JOINED event —
     # the reference reader chain is ... → multiline → limit

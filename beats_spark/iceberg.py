@@ -245,11 +245,14 @@ class IcebergCatalog:
     def _resolve_intent(self, table: str, run_id: str) -> None:
         """Recovery half of adopt_directory's crash window: if an intent
         for ``run_id`` is still recorded, the crash happened before the
-        run-id stamp. Scan the WHOLE current ancestry (not just the tail —
-        a commit landing between the crashed add_files and recovery leaves
-        the orphan mid-chain) for unattributed snapshots; every write path
-        in this catalog stamps its snapshots, so an unattributed one can
-        only be a crashed add_files commit.
+        run-id stamp. Scan the current ancestry AFTER the intent's recorded
+        anchor (the tail snapshot at intent time; a commit landing between
+        the crashed add_files and recovery leaves the orphan mid-chain, so
+        the whole post-anchor range is scanned, not just the tail) for
+        unattributed snapshots. Snapshots at or before the anchor are
+        ignored even when unattributed: append()/adopt with run_id=None is
+        legal, and a pre-existing run-id-less batch must never be claimed
+        by a crashed adopt (a later rollback_run would silently delete it).
 
         - exactly one orphan AND this is the only pending intent →
           attribute it to ``run_id`` so rollback and replay-dedup see it,
@@ -265,7 +268,16 @@ class IcebergCatalog:
         if run_id not in intents:
             return
         snaps = self.snapshots(table)
-        orphans = [s for s in snaps if s.run_id is None]
+        val = intents[run_id]
+        anchor = val.split(":", 1)[0] if ":" in val else None
+        start = 0
+        if anchor and anchor != "-":
+            idx = next((i for i, s in enumerate(snaps)
+                        if s.snapshot_id == anchor), None)
+            # anchor missing from the ancestry (rolled back / expired):
+            # fall back to scanning everything — the pre-anchor behavior
+            start = idx + 1 if idx is not None else 0
+        orphans = [s for s in snaps[start:] if s.run_id is None]
         if len(orphans) > 1:
             raise RuntimeError(
                 f"iceberg recovery: {len(orphans)} unattributed snapshots "
@@ -348,9 +360,17 @@ class IcebergCatalog:
         attribute the unstamped tail snapshot to the crashed run (see
         _resolve_intent)."""
         if run_id:
+            # the intent value records the tail snapshot id at intent time
+            # ("-" for an empty table) so recovery only considers snapshots
+            # committed AFTER it: a pre-existing unattributed snapshot
+            # (append()/adopt with run_id=None is legal) must never be
+            # claimed by a crashed adopt (src_dir after ':' is diagnostic)
+            tail = self.latest_snapshot(table)
+            anchor = tail.snapshot_id if tail else "-"
             self.spark.sql(
                 f"ALTER TABLE {self._t(table)} SET TBLPROPERTIES "
-                f"('run-intent.{sql_str(run_id)}' = '{sql_str(src_dir)}')"
+                f"('run-intent.{sql_str(run_id)}' = "
+                f"'{sql_str(f'{anchor}:{src_dir}')}')"
             )
         self.spark.sql(
             add_files_sql(self.catalog, self.namespace, table, src_dir)

@@ -219,12 +219,20 @@ def grok(cfg: dict[str, Any]) -> Stage:
                         # a matched row whose capture is genuinely empty
                         # stays '' (the opt-in ""→NULL is null_empty's job)
                         v = F.coalesce(v, F.lit(""))
-                    typ = next((t for _, t in slist if t), "")
-                    if typ:
-                        v = v.try_cast(_GROK_TYPES.get(typ, "string"))
                     parts.append(F.when(sels[j], v))
                     written = written | sels[j]
                 val = F.coalesce(*parts) if len(parts) > 1 else parts[0]
+                # typing: a DataFrame column has ONE static type, so the
+                # declared :type applies only when every site of the field
+                # agrees on it; mixed typed/untyped or conflicting
+                # declarations fall back to string (casting only some
+                # coalesce branches would make ANSI insert a strict cast on
+                # the string branch and crash the job on non-numeric input;
+                # ES's per-document dynamic typing has no static analogue)
+                declared = [t for _, _, t in sites]
+                uniq = {t for t in declared if t}
+                if len(uniq) == 1 and all(declared):
+                    val = val.try_cast(_GROK_TYPES.get(uniq.pop(), "string"))
                 if cond is not None:
                     written = cond & written
                 cols[name] = (val, written)

@@ -173,30 +173,6 @@ def read_log_files(
                "order_by": ["__offset"], **multiline}
         df = build_stage("multiline", cfg).apply(df)
 
-    if json is not None or json_schema is not None:
-        # key promotion runs AFTER multiline: the reference merges parsed
-        # keys into the event at BUILD time (jsontransform.WriteJSONKeys),
-        # after the reader chain joined raw lines — promoting earlier would
-        # let a JSON 'message' key replace the raw line and feed the
-        # multiline pattern extracted values instead of line text. The
-        # joined event keeps the FIRST line's parsed fields (__json rides
-        # through the multiline agg as a group-first column).
-        if jcfg.get("keys_under_root", False):
-            overwrite = jcfg.get("overwrite_keys", False)
-            for n in names:
-                # 'log' would collide with the harvester envelope added
-                # below; it is merged INTO the envelope there instead
-                # (DeepUpdate semantics for the log map)
-                if n == "log":
-                    continue
-                if n in df.columns and not overwrite:
-                    continue
-                df = df.withColumn(n, F.col("__json").getField(n))
-            if "log" not in names:
-                df = df.drop("__json")
-        else:
-            df = df.withColumnRenamed("__json", "json")
-
     # limit and line filters run AFTER multiline, on the JOINED event —
     # the reference reader chain is ... → multiline → limit
     # (harvester.go:640-707), and shouldExportLine applies include/exclude
@@ -226,6 +202,32 @@ def read_log_files(
         df = df.filter(inc)
     for pat in exclude_lines or []:
         df = df.filter(~F.col("message").rlike(pat))
+
+    if json is not None or json_schema is not None:
+        # key promotion runs LAST in the reader chain: the reference merges
+        # parsed keys into the event at BUILD time
+        # (jsontransform.WriteJSONKeys), after multiline joined raw lines
+        # AND after shouldExportLine/limit ran on that joined raw text —
+        # promoting earlier would let a JSON 'message' key replace the raw
+        # line and feed the multiline pattern / include-exclude filters /
+        # byte limit extracted values instead of line text. The joined
+        # event keeps the FIRST line's parsed fields (__json rides through
+        # the multiline agg as a group-first column).
+        if jcfg.get("keys_under_root", False):
+            overwrite = jcfg.get("overwrite_keys", False)
+            for n in names:
+                # 'log' would collide with the harvester envelope added
+                # below; it is merged INTO the envelope there instead
+                # (DeepUpdate semantics for the log map)
+                if n == "log":
+                    continue
+                if n in df.columns and not overwrite:
+                    continue
+                df = df.withColumn(n, F.col("__json").getField(n))
+            if "log" not in names:
+                df = df.drop("__json")
+        else:
+            df = df.withColumnRenamed("__json", "json")
 
     # harvester envelope; a promoted json 'log' object contributes its
     # fields alongside file/offset (the reference DeepUpdates the log map)

@@ -184,3 +184,52 @@ def test_resolve_intent_noop_without_intent(monkeypatch):
     cat = _recovery_catalog(monkeypatch, {}, [snap("1", None, None)])
     cat._resolve_intent("t", "rX")
     assert cat.spark.calls == []
+
+
+def test_resolve_intent_ignores_pre_anchor_orphans(monkeypatch):
+    """A legitimately run-id-less batch (append with run_id=None) that
+    predates the intent's anchor must never be claimed by a crashed adopt:
+    here the orphan '2' sits BEFORE the anchor '3', the add_files never
+    committed, so recovery clears the intent without attributing anything
+    (claiming '2' would let a later rollback_run delete the user's batch)."""
+    snaps = [snap("1", "r1", None), snap("2", None, "1"),
+             snap("3", "r9", "2")]
+    cat = _recovery_catalog(monkeypatch, {"rX": "3:/stage"}, snaps)
+    cat._resolve_intent("t", "rX")
+    sqls = cat.spark.calls
+    assert not any("SET TBLPROPERTIES" in q and "run-id." in q for q in sqls)
+    assert any("run-intent.rX" in q and "UNSET" in q for q in sqls)
+
+
+def test_resolve_intent_attributes_only_post_anchor_orphan(monkeypatch):
+    """With a pre-anchor historical orphan AND a post-anchor crashed-adopt
+    orphan, only the post-anchor one is a candidate — the historical one
+    neither blocks recovery (no ambiguity raise) nor gets claimed."""
+    snaps = [snap("1", None, None), snap("2", "r2", "1"),
+             snap("3", None, "2")]
+    cat = _recovery_catalog(monkeypatch, {"rX": "2:/stage"}, snaps)
+    cat._resolve_intent("t", "rX")
+    sqls = cat.spark.calls
+    assert any("'run-id.3' = 'rX'" in q for q in sqls)
+    assert any("run-intent.rX" in q and "UNSET" in q for q in sqls)
+
+
+def test_resolve_intent_multi_intent_single_orphan_raises(monkeypatch):
+    """Two crashed adopts, one committed orphan: attributing it to
+    whichever run resolves first could delete the OTHER run's batch under
+    the wrong name on rollback — recovery must refuse."""
+    snaps = [snap("1", "r1", None), snap("2", None, "1")]
+    cat = _recovery_catalog(
+        monkeypatch, {"rX": "1:/a", "rY": "1:/b"}, snaps)
+    with pytest.raises(RuntimeError, match="pending run-intents"):
+        cat._resolve_intent("t", "rX")
+    assert cat.spark.calls == []
+
+
+def test_resolve_intent_legacy_value_scans_everything(monkeypatch):
+    """Intents recorded before the anchor format (value = bare src_dir)
+    fall back to whole-ancestry scanning."""
+    snaps = [snap("1", "r1", None), snap("2", None, "1")]
+    cat = _recovery_catalog(monkeypatch, {"rX": "/plain/dir"}, snaps)
+    cat._resolve_intent("t", "rX")
+    assert any("'run-id.2' = 'rX'" in q for q in cat.spark.calls)

@@ -262,15 +262,28 @@ def _run_scale_curve(spark, dirs: list[str], reps: int = 2) -> dict:
             tr = b["sec"] / max(a["sec"], 1e-9)
             exps.append(round(math.log(tr) / math.log(dr), 2)
                         if dr > 1 and tr > 0 else None)
+        # marginal exponent: subtract the smallest point's time as the
+        # per-op fixed floor (500 docs ≈ pure plan/JIT/scheduling overhead
+        # at local[32]) and take the log-log slope of the REMAINING time
+        # over the two largest points — the raw slope understates scaling
+        # while absolute times sit near the floor
+        marginal = None
+        if len(pts) >= 3:
+            floor = pts[0]["sec"]
+            d2, d3 = pts[-2]["sec"] - floor, pts[-1]["sec"] - floor
+            dr = pts[-1]["rows_in"] / max(pts[-2]["rows_in"], 1)
+            if d2 > 0.05 and d3 > 0 and dr > 1:
+                marginal = round(math.log(d3 / d2) / math.log(dr), 2)
         curve[name] = {
             "points": pts,
             "exponents_pairwise": exps,
             # log-log slope between the two largest points, where the data
             # term dominates fixed overhead
             "scaling_exponent": exps[-1] if exps else None,
+            "exponent_marginal": marginal,
         }
         print(f"# curve {name}: {curve[name]['points']} "
-              f"exps={exps}", file=sys.stderr)
+              f"exps={exps} marginal={marginal}", file=sys.stderr)
     return curve
 
 

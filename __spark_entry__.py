@@ -716,6 +716,35 @@ def q_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grok_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-style multi-pattern grok (ordered patterns, first match wins —
+    the apache module pipeline's surface, pipeline.yml:9-27). Two line
+    formats are BUILT from transcript columns by turn parity; each
+    pattern's fields must come from the winning pattern only (the other
+    pattern's fields stay NULL), with a field shared across patterns
+    (lvl) and per-pattern typed captures."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    t = _transcripts(spark, sf_dir)
+    m = F.pmod(F.col("turn_idx"), F.lit(2))
+    n = F.pmod(F.col("turn_idx"), F.lit(500)).cast("string")
+    line = (
+        F.when(m == 0, F.concat(F.lit("evt level="), F.col("role"),
+                                F.lit(" code="), n))
+        .otherwise(F.concat(F.lit("["), F.col("tool"), F.lit("] "), n,
+                            F.lit("ms msg="), F.col("role")))
+    )
+    df = t.withColumn("line", line)
+    out = apply_chain(df, build_chain([
+        {"grok": {"field": "line", "patterns": [
+            "evt level=%{WORD:lvl} code=%{NUMBER:code:long}",
+            r"\[%{WORD:src}\] %{NUMBER:ms:long}ms msg=%{WORD:lvl}",
+        ], "null_empty_captures": True}},
+    ]))
+    return out.select("conv_id", "turn_idx", "line", "lvl", "code",
+                      "ms", "src")
+
+
 def q_enrich_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """enrich_cidr — longest-prefix CIDR match against a broadcast dim (the
     geoip join shape, nginx pipeline.yml:126-137). IPs are BUILT from
@@ -790,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syslog_parse": q_syslog_parse,
         "registered_domain": q_registered_domain,
         "user_agent": q_user_agent,
+        "grok_multi": q_grok_multi,
         "enrich_cidr": q_enrich_cidr,
         "windowed_counts": q_windowed_counts,
         "rate_limit": q_rate_limit,
@@ -1028,6 +1058,26 @@ def oracle_sql() -> dict[str, str]:
                CASE turn_idx % 6 WHEN 0 THEN 'Mac' WHEN 3 THEN 'Spider'
                  WHEN 4 THEN 'iPhone' WHEN 5 THEN 'Pixel 6'
                  ELSE 'Other' END AS device
+               FROM transcripts"""
+        ),
+        # ground truth for the two built line formats: per-parity fields,
+        # with the 'mcp-custom' tool (non-\w) exercising the no-match path
+        "grok_multi": _with_t(
+            """SELECT conv_id, turn_idx,
+               CASE WHEN turn_idx % 2 = 0
+                    THEN 'evt level=' || role || ' code='
+                         || CAST(turn_idx % 500 AS VARCHAR)
+                    ELSE '[' || tool || '] '
+                         || CAST(turn_idx % 500 AS VARCHAR)
+                         || 'ms msg=' || role END AS line,
+               CASE WHEN turn_idx % 2 = 0 THEN role
+                    WHEN tool <> 'mcp-custom' THEN role END AS lvl,
+               CASE WHEN turn_idx % 2 = 0
+                    THEN CAST(turn_idx % 500 AS BIGINT) END AS code,
+               CASE WHEN turn_idx % 2 = 1 AND tool <> 'mcp-custom'
+                    THEN CAST(turn_idx % 500 AS BIGINT) END AS ms,
+               CASE WHEN turn_idx % 2 = 1 AND tool <> 'mcp-custom'
+                    THEN tool END AS src
                FROM transcripts"""
         ),
         # ground truth for the built IPs: the longest-prefix winner is known

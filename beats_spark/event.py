@@ -155,16 +155,32 @@ def drop_path(df: DataFrame, path: str) -> DataFrame:
     if not has_path(df.schema, path):
         return df
     parts = split_path(path)
+
+    def type_at(ps: list[str]) -> T.DataType | None:
+        cur: T.DataType = df.schema
+        for p in ps:
+            if not isinstance(cur, T.StructType) or p not in cur.fieldNames():
+                return None
+            cur = cur[p].dataType
+        return cur
+
+    # a struct must never be left EMPTY (Spark refuses with
+    # CANNOT_DROP_ALL_FIELDS): when the immediate parent holds only this
+    # field, drop the parent instead — recursively, the columnar analogue
+    # of the reference's scrub of emptied maps (e.g. dropping
+    # system.syslog.timestamp when it is syslog's last field removes
+    # system.syslog; if syslog was system's last field, system goes too)
+    while len(parts) > 1:
+        parent_t = type_at(parts[:-1])
+        if isinstance(parent_t, T.StructType) and len(parent_t.fields) == 1:
+            parts = parts[:-1]
+            continue
+        break
     if len(parts) == 1:
         return df.drop(parts[0])
     root = parts[0]
     nested = ".".join(_quote(p) for p in parts[1:])
-    new_root = F.col(_quote(root)).dropFields(nested)
-    # if the struct would become empty, drop the whole root column
-    root_t = path_type(df.schema, root)
-    if isinstance(root_t, T.StructType) and len(parts) == 2 and len(root_t.fields) == 1:
-        return df.drop(root)
-    return df.withColumn(root, new_root)
+    return df.withColumn(root, F.col(_quote(root)).dropFields(nested))
 
 
 def rename_path(df: DataFrame, src: str, dst: str) -> DataFrame:

@@ -785,6 +785,48 @@ def q_enrich_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("geo.region").alias("region"))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data hygiene pass): emails / IPv4s / hex
+    keys / phone numbers planted deterministically from transcript columns
+    are replaced by typed placeholders; the oracle applies the identical
+    RE2-compatible regex chain in the same order."""
+    from beats_spark.ml.textstats import pii_scrub
+
+    t = _transcripts(spark, sf_dir)
+    built = F.concat(
+        F.col("text"),
+        F.lit(" contact u."), F.col("conv_id"), F.lit("@example.com"),
+        F.lit(" from 192.0.2."),
+        F.pmod(F.col("turn_idx") * 3, F.lit(250)).cast("string"),
+        F.lit(" token "), F.md5(F.col("conv_id")),
+        F.lit(" call +1 (555) 010-"),
+        F.lpad(F.pmod(F.col("turn_idx"), F.lit(10000)).cast("string"),
+               4, "0"),
+    )
+    return t.select(
+        "conv_id", "turn_idx",
+        pii_scrub(built).alias("clean"))
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/layout signals + keep decision over the
+    documents table (Rae et al. '21 §A1.1 rules as column algebra)."""
+    from beats_spark.ml import textstats
+
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = textstats.repetition_signals(F.col("text"))
+    q = textstats.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        r["n_lines"].alias("n_lines"),
+        r["dup_line_frac"].alias("dup_line_frac"),
+        r["bullet_line_frac"].alias("bullet_line_frac"),
+        r["ellipsis_line_frac"].alias("ellipsis_line_frac"),
+        q["mean_word_len"].alias("mean_word_len"),
+        textstats.gopher_keep(F.col("text")).alias("keep"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -833,6 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "embedding_neardup": q_embedding_neardup,
         "text_quality": q_text_quality,
+        "pii_scrub": q_pii_scrub,
+        "gopher_quality": q_gopher_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -853,6 +897,22 @@ def oracle_sql() -> dict[str, str]:
         )
 
     toks = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+
+    # the pii_scrub oracle applies the IDENTICAL regex chain (same source
+    # of truth, same order) with DuckDB's explicit 'g' flag
+    from beats_spark.ml.textstats import PII_PATTERNS
+
+    pii_expr = (
+        "text || ' contact u.' || conv_id || '@example.com'"
+        " || ' from 192.0.2.' || CAST((turn_idx * 3) % 250 AS VARCHAR)"
+        " || ' token ' || md5(conv_id)"
+        " || ' call +1 (555) 010-'"
+        " || lpad(CAST(turn_idx % 10000 AS VARCHAR), 4, '0')"
+    )
+    for _kind, _pat, _repl in PII_PATTERNS:
+        pii_expr = (f"regexp_replace({pii_expr}, "
+                    f"'{_pat.replace(chr(39), chr(39) * 2)}', "
+                    f"'{_repl}', 'g')")
 
     # the fixture pipeline's routing as SQL (mappings over %{[tool]},
     # default sink_other, system rows dropped)
@@ -1354,6 +1414,37 @@ def oracle_sql() -> dict[str, str]:
                 + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.5 END)
                 + (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.5 END)
               ) / 4.0, 6) AS quality
+            FROM f
+        """,
+        "pii_scrub": _with_t(
+            f"SELECT conv_id, turn_idx, {pii_expr} AS clean FROM transcripts"
+        ),
+        "gopher_quality": f"""
+            WITH l AS (
+              SELECT doc_id, {toks} AS tk,
+                     string_split(text, chr(10)) AS ln
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                CAST(len(ln) AS INTEGER) AS n_lines,
+                round(CAST(len(ln) - len(list_distinct(ln)) AS DOUBLE)
+                      / greatest(len(ln), 1), 6) AS dup_line_frac,
+                round(CAST(len(list_filter(ln,
+                        x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE)
+                      / greatest(len(ln), 1), 6) AS bullet_line_frac,
+                round(CAST(len(list_filter(ln,
+                        x -> regexp_matches(x, '\\.\\.\\.\\s*$'))) AS DOUBLE)
+                      / greatest(len(ln), 1), 6) AS ellipsis_line_frac,
+                CASE WHEN len(tk) > 0 THEN
+                  round(CAST(list_sum(list_transform(tk, x -> length(x)))
+                             AS DOUBLE) / len(tk), 6) END AS mean_word_len
+              FROM l)
+            SELECT doc_id, n_lines, dup_line_frac, bullet_line_frac,
+              ellipsis_line_frac, mean_word_len,
+              (mean_word_len IS NOT NULL AND mean_word_len >= 3
+               AND mean_word_len <= 10 AND dup_line_frac <= 0.3
+               AND bullet_line_frac <= 0.9
+               AND ellipsis_line_frac <= 0.3) AS keep
             FROM f
         """,
         "token_counts": f"""

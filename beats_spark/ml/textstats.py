@@ -91,6 +91,77 @@ def quality_score(col: Column) -> Column:
     return F.round((len_ok + alpha_ok + punct_ok + sw_ok) / 4.0, 6)
 
 
+# -- PII scrubbing (training-data hygiene) -----------------------------------
+
+# ordered: ipv4 must run before phone (a dotted quad is 8+ digits/dots and
+# would otherwise match the phone shape). Patterns are RE2-compatible (no
+# backreferences/lookaround) so the DuckDB oracle replicates them verbatim.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("key", r"\b[A-Fa-f0-9]{32,}\b", "<KEY>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(col: Column, kinds: list[str] | None = None) -> Column:
+    """Replace common PII shapes (email, IPv4, hex API keys/hashes, phone
+    numbers) with typed placeholders — the standard hygiene pass before
+    text lands in a training corpus. A fixed chain of JVM
+    ``regexp_replace`` calls (global, whole-stage codegen; zero Python);
+    at 100 TB this is a pure map stage, no shuffle."""
+    known = [k for k, _, _ in PII_PATTERNS]
+    use = known if kinds is None else kinds
+    bad = set(use) - set(known)
+    if bad:
+        raise ValueError(f"pii_scrub: unknown kinds {sorted(bad)} "
+                         f"(known: {known})")
+    out = col
+    for kind, pat, repl in PII_PATTERNS:  # fixed order, see above
+        if kind in use:
+            out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# -- repetition / layout signals (Gopher-style filters) -----------------------
+
+
+def repetition_signals(col: Column) -> dict[str, Column]:
+    """Line-level repetition and layout signals from the Gopher paper's
+    quality rules (Rae et al. '21 §A1.1): fraction of duplicate lines,
+    fraction of bullet-point lines, fraction of lines ending in an
+    ellipsis. Pure array algebra over split lines."""
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    safe_n = F.greatest(n_lines, F.lit(1))
+    dup_frac = F.round(
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / safe_n, 6)
+    bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": dup_frac,
+        "bullet_line_frac": F.round(bullet.cast("double") / safe_n, 6),
+        "ellipsis_line_frac": F.round(ellipsis.cast("double") / safe_n, 6),
+    }
+
+
+def gopher_keep(col: Column) -> Column:
+    """Boolean keep decision over the Gopher-style rules this module
+    computes: mean word length in [3, 10], ≤30% duplicate lines, ≤90%
+    bullet lines, ≤30% ellipsis lines (thresholds per the paper; mirrored
+    in the SQL oracle)."""
+    q = quality_features(col)
+    r = repetition_signals(col)
+    return (
+        q["mean_word_len"].isNotNull()
+        & (q["mean_word_len"] >= 3) & (q["mean_word_len"] <= 10)
+        & (r["dup_line_frac"] <= 0.3)
+        & (r["bullet_line_frac"] <= 0.9)
+        & (r["ellipsis_line_frac"] <= 0.3)
+    )
+
+
 # -- document fingerprinting (rolling hash / winnowing-lite) -----------------
 
 _FP_B = 1_000_003          # polynomial base

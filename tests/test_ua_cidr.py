@@ -276,3 +276,52 @@ def test_cidr_table_path_variant(spark, tmp_path):
         {"enrich_cidr": {"table": p, "on": "ip", "target": "geo"}},
     ]))
     assert out.collect()[0]["geo"]["region"] == "annex"
+
+
+def test_streaming_user_agent_and_cidr_parity(spark, tmp_path):
+    """Both new enrichments are stateless column algebra, so the SAME chain
+    applies to a readStream frame (enrich_cidr's joins are stream-static
+    broadcasts; the dim collect happens at plan build). availableNow output
+    must equal the batch transform row-for-row."""
+    register_lookup(
+        "stream_geo",
+        lambda: spark.createDataFrame(
+            [("10.0.0.0/8", "corp"), ("203.0.113.0/24", "doc")],
+            "cidr string, region string"))
+    chain = build_chain([
+        {"user_agent": {"field": "ua", "ignore_missing": True}},
+        {"enrich_cidr": {"lookup": "stream_geo", "on": "ip",
+                         "target": "geo"}},
+    ])
+    rows = [
+        ("curl/8.1.2", "10.1.2.3"),
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/99.0.4844.58 Safari/537.36",
+         "203.0.113.9"),
+        (None, "8.8.8.8"),
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "ua string, ip string") \
+        .coalesce(1).write.parquet(src)
+
+    def flat(df):
+        return df.select(
+            "ip",
+            F.col("user_agent.name").alias("ua_name"),
+            F.col("geo.region").alias("region"))
+
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema("ua string, ip string").parquet(src)
+    q = (flat(apply_chain(stream, chain))
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple,
+                      flat(apply_chain(spark.read.parquet(src),
+                                       chain)).collect()))
+    assert got == want
+    assert ("10.1.2.3", "curl", "corp") in got
+    assert ("8.8.8.8", None, None) in got

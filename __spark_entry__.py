@@ -1430,10 +1430,10 @@ def oracle_sql() -> dict[str, str]:
                 round(CAST(len(ln) - len(list_distinct(ln)) AS DOUBLE)
                       / greatest(len(ln), 1), 6) AS dup_line_frac,
                 round(CAST(len(list_filter(ln,
-                        x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE)
+                        x -> regexp_matches(x, '^[ \t]*[-*•]'))) AS DOUBLE)
                       / greatest(len(ln), 1), 6) AS bullet_line_frac,
                 round(CAST(len(list_filter(ln,
-                        x -> regexp_matches(x, '\\.\\.\\.\\s*$'))) AS DOUBLE)
+                        x -> regexp_matches(x, '\\.\\.\\.[ \t]*$'))) AS DOUBLE)
                       / greatest(len(ln), 1), 6) AS ellipsis_line_frac,
                 CASE WHEN len(tk) > 0 THEN
                   round(CAST(list_sum(list_transform(tk, x -> length(x)))

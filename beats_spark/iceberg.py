@@ -269,13 +269,29 @@ class IcebergCatalog:
             return
         snaps = self.snapshots(table)
         val = intents[run_id]
-        anchor = val.split(":", 1)[0] if ":" in val else None
+        # anchor prefix must be snapshot-id-shaped (digits) or '-' (empty
+        # table): legacy intent values are bare src_dirs, and a URL like
+        # 's3://…' must parse as legacy (whole-ancestry scan), not as a
+        # bogus anchor
+        prefix = val.split(":", 1)[0] if ":" in val else ""
+        anchor = prefix if prefix == "-" or prefix.isdigit() else None
         start = 0
         if anchor and anchor != "-":
             idx = next((i for i, s in enumerate(snaps)
                         if s.snapshot_id == anchor), None)
-            # anchor missing from the ancestry (rolled back / expired):
-            # fall back to scanning everything — the pre-anchor behavior
+            if idx is None and snaps:
+                # anchor recorded but gone from the ancestry (expired or
+                # rolled back past): the post-anchor window cannot be
+                # reconstructed, and scanning everything could CLAIM a
+                # legitimate pre-anchor run-id-less batch (which a later
+                # rollback_run would delete) — refuse, like the other
+                # ambiguous cases
+                raise RuntimeError(
+                    f"iceberg recovery: intent anchor snapshot {anchor!r} "
+                    f"for run {run_id!r} is no longer in {table!r}'s "
+                    "ancestry — cannot bound the recovery scan; intent "
+                    "left in place for manual resolution"
+                )
             start = idx + 1 if idx is not None else 0
         orphans = [s for s in snaps[start:] if s.run_id is None]
         if len(orphans) > 1:

@@ -95,12 +95,21 @@ def quality_score(col: Column) -> Column:
 
 # ordered: ipv4 must run before phone (a dotted quad is 8+ digits/dots and
 # would otherwise match the phone shape). Patterns are RE2-compatible (no
-# backreferences/lookaround) so the DuckDB oracle replicates them verbatim.
+# backreferences/lookaround) AND avoid \s so the DuckDB oracle replicates
+# them byte-for-byte (Java's \s includes \x0B, RE2's does not — a latent
+# oracle divergence). The phone shape is deliberately CONSERVATIVE: it
+# requires a '+' country code or a parenthesized area code, because bare
+# separator-digit runs are structurally identical to ISO dates/timestamps
+# ('2026-08-18' is 4-2-2) and a permissive class corrupted every date in
+# the corpus; local formats like 555-010-9999 are accepted false negatives.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     ("key", r"\b[A-Fa-f0-9]{32,}\b", "<KEY>"),
-    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    ("phone",
+     r"\+\d{1,4}(?:[ .()-]{1,2}\d{2,9}){1,4}"
+     r"|\(\d{2,5}\)[ .-]?\d{2,4}(?:[ .-]\d{2,4}){0,2}",
+     "<PHONE>"),
 ]
 
 
@@ -136,8 +145,10 @@ def repetition_signals(col: Column) -> dict[str, Column]:
     safe_n = F.greatest(n_lines, F.lit(1))
     dup_frac = F.round(
         (n_lines - F.size(F.array_distinct(lines))).cast("double") / safe_n, 6)
-    bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
-    ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    # [ \t] not \s: Java's \s ⊃ RE2's \s (\x0B), and the DuckDB oracle
+    # must replicate these byte-for-byte
+    bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^[ \t]*[-*•]")))
+    ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.[ \t]*$")))
     return {
         "n_lines": n_lines,
         "dup_line_frac": dup_frac,

@@ -138,10 +138,11 @@ def grok(cfg: dict[str, Any]) -> Stage:
     null_empty = cfg.get("null_empty_captures", False)
 
     regexes: list[str] = []
-    # field name → [(pattern_idx, group_idx, declared type)] — type kept
-    # PER SITE: ES ingest grok converts per-pattern, so a field typed long
-    # in one pattern and untyped in another casts only where declared
-    # (coalesce then widens to the common type)
+    # field name → [(pattern_idx, group_idx, declared type)] — declared
+    # types are collected per site but APPLIED only when every site of the
+    # field agrees (see the combine layer): a DataFrame column has one
+    # static type, and casting only some coalesce branches makes ANSI
+    # insert a strict cast that crashes on non-numeric input
     fmap: dict[str, list[tuple[int, int, str]]] = {}
     for j, p in enumerate(pats):
         regex, fields = expand_grok(p, definitions)

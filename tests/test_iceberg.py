@@ -233,3 +233,15 @@ def test_resolve_intent_legacy_value_scans_everything(monkeypatch):
     cat = _recovery_catalog(monkeypatch, {"rX": "/plain/dir"}, snaps)
     cat._resolve_intent("t", "rX")
     assert any("'run-id.2' = 'rX'" in q for q in cat.spark.calls)
+
+
+def test_resolve_intent_missing_anchor_raises(monkeypatch):
+    """An intent whose anchor snapshot has been expired/rolled back out of
+    the ancestry cannot bound the recovery scan — falling back to a whole-
+    ancestry scan could claim a legitimate pre-anchor run-id-less batch,
+    so recovery must refuse."""
+    snaps = [snap("5", "r5", None), snap("6", None, "5")]
+    cat = _recovery_catalog(monkeypatch, {"rX": "999:/stage"}, snaps)
+    with pytest.raises(RuntimeError, match="no longer in"):
+        cat._resolve_intent("t", "rX")
+    assert cat.spark.calls == []

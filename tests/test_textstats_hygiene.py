@@ -20,10 +20,19 @@ def _one(spark, text, col_fn):
     ("token deadbeefdeadbeefdeadbeefdeadbeef ok",
      "token <KEY> ok"),
     ("call +1 (555) 010-1234 today", "call <PHONE> today"),
+    ("dial +49 30 123456 now", "dial <PHONE> now"),
+    ("office (0221) 47-110", "office <PHONE>"),
     # order: the dotted quad must become <IP>, not a phone match
-    ("ip 192.0.2.77 phone 555-010-9999", "ip <IP> phone <PHONE>"),
+    ("ip 192.0.2.77 stays ip", "ip <IP> stays ip"),
     # md5-length hex is a key even inside a sentence
     ("sig 0123456789abcdef0123456789abcdef.", "sig <KEY>."),
+    # the conservative phone policy: ISO dates/timestamps and versions are
+    # phone-shaped and must survive; bare local numbers are accepted
+    # false negatives
+    ("released 2026-08-18 at 12:30:45", "released 2026-08-18 at 12:30:45"),
+    ("ts 2026-01-01 00:00:00 ok", "ts 2026-01-01 00:00:00 ok"),
+    ("wget 1.20.3 and 555-010-9999", "wget 1.20.3 and 555-010-9999"),
+    ("order 123\n 45678 units", "order 123\n 45678 units"),
     ("nothing to scrub here", "nothing to scrub here"),
 ])
 def test_pii_scrub_shapes(spark, raw, clean):

@@ -316,7 +316,10 @@ def test_streaming_user_agent_and_cidr_parity(spark, tmp_path):
          .writeStream.format("parquet").option("path", out)
          .option("checkpointLocation", str(tmp_path / "ck"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    try:
+        assert q.awaitTermination(300), "streaming query timed out"
+    finally:
+        q.stop()
 
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple,

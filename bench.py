@@ -173,9 +173,13 @@ def _synth_curve_point(spark, sf_hi: str, mult: int, out_dir: str) -> None:
     differs — so near-dup density per row stays that of the real table
     instead of degenerating into mult-way near-duplicate cliques (a
     character rotation fails this: word shingles are preserved across the
-    seam and each doc's copies all collide). Embeddings are element-rotated
-    by a copy-distinct offset (near-zero cosine across copies, exact
-    structure within)."""
+    seam and each doc's copies all collide). Embeddings get a per-copy
+    deterministic SIGN-FLIP mask — an exact isometry within a copy (dot
+    products and norms preserved, so the copy's near-dup structure is
+    identical) while cross-copy cosines decorrelate regardless of vector
+    smoothness; an element ROTATION fails that at high mult (rotations of
+    smooth clustered vectors stay correlated at small lags — the 64× point
+    measured 4113× pair growth instead of 64×, r4)."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_hi}/documents.parquet") \
@@ -191,14 +195,15 @@ def _synth_curve_point(spark, sf_hi: str, mult: int, out_dir: str) -> None:
                 "text", F.regexp_replace(F.col("text"), r"(\S+)",
                                          rf"$1-c{i}")))
         emb = F.col("embedding")
-        k = F.lit(1) + F.pmod(F.lit(i - 1), F.greatest(F.size(emb) - 1,
-                                                       F.lit(1)))
+        seed = i * 1_000_003
+        flipped = F.zip_with(
+            emb, F.sequence(F.lit(0), F.size(emb) - 1),
+            lambda v, idx: v * (F.lit(1.0) - 2.0 * F.pmod(
+                F.xxhash64(idx + F.lit(seed)), F.lit(2)).cast("double")))
         e_parts.append(
             embs.withColumn(
                 "vec_id", F.concat(F.col("vec_id"), F.lit(f"_c{i}"))
-            ).withColumn(
-                "embedding", F.concat(F.slice(emb, k + 1, F.size(emb) - k),
-                                      F.slice(emb, F.lit(1), k))))
+            ).withColumn("embedding", flipped.cast("array<float>")))
     par = spark.sparkContext.defaultParallelism
     base = d_parts[0]
     for p in d_parts[1:]:

@@ -353,6 +353,12 @@ def _worker(cores: int) -> None:
     # as it has produced one clean steady-state sample
     reps = int(os.environ.get("BENCH_REPS", "3"))
     early = float(os.environ.get("BENCH_EARLY_SEC", "0"))
+    # wall budget for THIS worker (parent passes its remaining global
+    # budget): under a deep credit-drain epoch a single rep can run 100+ s,
+    # and the parent's budget check only fires between rounds — without a
+    # per-worker deadline a late round overshoots the caller's patience
+    # (observed: a fully-throttled epoch ran past an external 2400 s kill)
+    wbudget = float(os.environ.get("BENCH_WORKER_BUDGET", "0"))
     from beats_spark.testdata import synthesize_transcripts
 
     src = tempfile.mkdtemp(prefix=f"bench_src_{cores}_", dir=shm)
@@ -361,6 +367,7 @@ def _worker(cores: int) -> None:
     ).write.mode("overwrite").parquet(src)
     pipe = _scale_pipeline(spark)
     times = []
+    t_all = time.perf_counter()
     try:
         for _ in range(reps):
             out = tempfile.mkdtemp(prefix=f"bench_sinks_{cores}_", dir=shm)
@@ -372,6 +379,8 @@ def _worker(cores: int) -> None:
                 shutil.rmtree(out, ignore_errors=True)
             if early and len(times) >= 2 and min(times) <= early:
                 break
+            if wbudget and time.perf_counter() - t_all > wbudget:
+                break  # deadline hit; keep what we have (≥1 rep)
     finally:
         shutil.rmtree(src, ignore_errors=True)
     dt = min(times)
@@ -531,6 +540,10 @@ def main() -> None:
                 time.sleep(60)
             for cores in levels:
                 env = dict(os.environ)
+                # hand the worker what's left of the global budget (150 s
+                # floor so it always completes at least one warm rep)
+                env["BENCH_WORKER_BUDGET"] = str(max(
+                    150.0, budget - (time.monotonic() - t_start)))
                 if cores in sref:
                     # worker stops repeating once a rep lands within 5% of
                     # the best committed min — the block's purpose (one clean

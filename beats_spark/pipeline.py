@@ -33,7 +33,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
 
 from beats_spark.catalog import ParquetCatalog
 from beats_spark.processors import apply_chain, build_chain
@@ -144,10 +144,20 @@ class Pipeline:
 
         # tag the input partition once, at the scan, for per-partition lineage
         df = df.withColumn(PID_COL, F.spark_partition_id())
-        in_counts = {
-            r[PID_COL]: r["cnt"]
-            for r in df.groupBy(PID_COL).agg(F.count("*").alias("cnt")).collect()
-        }
+        # SINGLE-PASS lineage: events_in is observed by the staging write job
+        # itself (CollectMetrics rides the one scan; Catalyst does not push
+        # the drop_event filters below it), instead of a separate
+        # groupBy(PID).count() job that re-read the whole source — at 100 TB
+        # that pre-count was 2x read amplification on the production path.
+        # Granularity: events_routed stays per-(partition, sink) because the
+        # written files carry PID_COL and the re-aggregation below reads only
+        # that columnar slice of what LANDED; events_in/events_dropped are
+        # per-run (partition_id = -1). Attributing *dropped* rows to input
+        # partitions is the one thing that inherently needs either a second
+        # scan or persisting dropped rows — neither is acceptable by default;
+        # post-hoc audit is still possible via the persisted _pid column.
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("events_in"))
 
         routed = self.transform(df)
         payload_cols = [c for c in routed.columns if not c.startswith(META_PREFIX)]
@@ -177,17 +187,17 @@ class Pipeline:
             .collect()
         )
         sink_counts: dict[str, int] = {}
-        pid_out: dict[int, int] = {}
         metrics_rows: list[tuple] = []
         for r in out_rows:
             s, p, c = r[SINK_COL], r[PID_COL], r["cnt"]
             sink_counts[s] = sink_counts.get(s, 0) + c
-            pid_out[p] = pid_out.get(p, 0) + c
             metrics_rows.append((run_id, int(p) if p is not None else -1, s, 0, 0, c))
-        for p, n_in in in_counts.items():
-            dropped = n_in - pid_out.get(p, 0)
-            metrics_rows.append((run_id, int(p) if p is not None else -1, None,
-                                 n_in, dropped, 0))
+        # the staging write has run, so the observed metric is available now
+        events_in = int(obs.get["events_in"])
+        events_routed_total = sum(sink_counts.values())
+        metrics_rows.append(
+            (run_id, -1, None, events_in, events_in - events_routed_total, 0)
+        )
 
         for sink in sorted(sink_counts):
             cat.adopt_directory(
@@ -217,13 +227,11 @@ class Pipeline:
         )
         cat.append(lineage_df, LINEAGE_TABLE, run_id=run_id)
 
-        events_in = sum(in_counts.values())
-        events_routed = sum(sink_counts.values())
         return RunResult(
             run_id=run_id,
             sinks=sink_counts,
             events_in=events_in,
-            events_dropped=events_in - events_routed,
+            events_dropped=events_in - events_routed_total,
             snapshot_ids=snaps,
         )
 

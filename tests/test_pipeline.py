@@ -365,6 +365,35 @@ def test_run_incremental_rolls_back_crashed_run(spark, transcripts, tmp_path):
     assert {s: cat.read(s).count() for s in want} == want
 
 
+def test_run_scans_input_exactly_once(spark, transcripts, tmp_path):
+    """The production run() path must read its input ONCE: lineage counters
+    ride the staging write via df.observe, not a separate pre-count job.
+    Measured directly — an accumulator counts every row that crosses a
+    pass-through stage injected at the source; 2x the input means a second
+    scan (the r4 read-amplification finding)."""
+    rows_seen = spark.sparkContext.accumulator(0)
+    schema = transcripts.schema
+
+    def passthrough(it):
+        for pdf in it:
+            rows_seen.add(len(pdf))
+            yield pdf
+
+    src = transcripts.mapInPandas(passthrough, schema)
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    res = Pipeline(spark, fixture_config(), cat).run(src, run_id="onescan")
+    n = transcripts.count()
+    assert res.events_in == n
+    assert rows_seen.value == n, (
+        f"input scanned {rows_seen.value / n:.2f}x (expected exactly 1x)"
+    )
+    # and the metrics table still balances: in == routed + dropped
+    m = cat.read(METRICS_TABLE).filter(F.col("run_id") == "onescan").toPandas()
+    assert m[m["sink"].isna()]["events_in"].sum() == n
+    assert (m[m["sink"].isna()]["events_dropped"].sum()
+            + m[m["sink"].notna()]["events_routed"].sum()) == n
+
+
 def test_catalog_read_unknown_snapshot_raises(spark, transcripts, tmp_path):
     cat = ParquetCatalog(spark, str(tmp_path / "wh"))
     s = cat.append(transcripts, "t")

@@ -127,6 +127,99 @@ def _prepare_cidr_dim(rows, cidr_field: str, payload_fields: list[str]):
     return prepared
 
 
+def _stage_ip_hex(df: DataFrame, ip: Column, tp: str):
+    """Uppercase full-length hex of an ip string column (8 chars v4 / 32
+    chars v6, NULL when invalid), staged through small temp columns.
+
+    Value-identical to ``F.hex(flowhash._ip_bytes(ip))`` — same
+    ``conditions._ip6_words`` validation (``::`` compression, embedded-v4
+    tail, shape/group checks) — but each intermediate lands in its own
+    temp column, so Catalyst analyzes a handful of ~20-node trees instead
+    of ONE ~800-node tree whose shared subexpressions the Column DSL
+    duplicates multiplicatively (~1.4 s of analysis per apply, measured).
+    v6 groups are already hex, so the staged form also drops _ip_bytes's
+    hex→dec→hex round-trip. Returns (df, hex_col_name, temp_col_names)."""
+    from beats_spark.conditions import _IPV4_RE, _IPV4_TAIL_RE, _ip4_to_long
+
+    c_s, c_left, c_right, c_hex = f"{tp}s", f"{tp}l", f"{tp}r", f"{tp}hex"
+
+    s0 = F.lower(F.trim(ip))
+    v4t = F.regexp_extract(s0, _IPV4_TAIL_RE, 1)
+    v4l = _ip4_to_long(v4t)
+    # embedded dotted-quad tail -> two hex words (same rewrite, same
+    # permissive-tail semantics as _ip6_words)
+    df = df.withColumn(c_s, F.when(v4t == "", s0).otherwise(F.concat(
+        F.regexp_replace(s0, _IPV4_TAIL_RE, ":"),
+        F.lower(F.conv(F.shiftright(v4l, 16).cast("string"), 10, 16)),
+        F.lit(":"),
+        F.lower(F.conv(v4l.bitwiseAND(F.lit(0xFFFF)).cast("string"), 10, 16)),
+    )))
+    s = F.col(c_s)
+    parts = F.split(s, "::")  # tiny tree — inlined, not staged
+    grp = lambda seg: F.filter(F.split(seg, ":"), lambda x: x != "")  # noqa: E731
+    df = df.withColumns({
+        c_left: grp(F.element_at(parts, 1)),
+        c_right: F.when(F.size(parts) == 2, grp(F.element_at(parts, 2)))
+                  .otherwise(F.array().cast("array<string>")),
+    })
+    n = F.size(F.col(c_left)) + F.size(F.col(c_right))
+    # `full` references only staged column refs, so inlining it three times
+    # (null-check / group-check / fold) stays small
+    full = F.when(
+        (F.size(parts) == 2) & (n <= 7),
+        F.concat(F.col(c_left), F.array_repeat(F.lit("0"), 8 - n), F.col(c_right)),
+    ).otherwise(F.when((F.size(parts) == 1) & (n == 8), F.col(c_left)))
+    shape_ok = (
+        s.rlike(r"^[0-9a-f:]+$")
+        & ~s.contains(":::")
+        & (F.size(parts) <= 2)
+        & ~s.rlike(r"^:[^:]")
+        & ~s.rlike(r"[^:]:$")
+    )
+    groups_ok = F.forall(full, lambda g: g.rlike("^[0-9a-f]{1,4}$"))
+    hex6 = F.upper(F.aggregate(
+        full, F.lit(""), lambda acc, g: F.concat(acc, F.lpad(g, 4, "0"))))
+    hex4 = F.lpad(F.hex(_ip4_to_long(ip)), 8, "0")
+    df = df.withColumn(c_hex, F.when(ip.rlike(_IPV4_RE), hex4).otherwise(
+        F.when(shape_ok & full.isNotNull() & groups_ok, hex6)))
+    return df, c_hex, [c_s, c_left, c_right, c_hex]
+
+
+# Catalyst map literals are ArrayBasedMapData — probes are linear scans, so
+# plan-inlining only wins while entries × rows stays cheap; beyond this the
+# broadcast hash join's O(1) probe wins despite its per-action optimizer tax.
+_INLINE_MAX_ENTRIES = 256
+
+
+def _json_literal_slices(prepared, lengths, pairs) -> list[str] | None:
+    """Per-(family, prefix-length) JSON objects {masked-key: payload-struct}
+    for plan-inlined constant maps, or None when any payload value doesn't
+    round-trip through JSON into its Catalyst type (binary, exotic objects)
+    — callers then fall back to the broadcast-join path. Timestamps/dates
+    serialize as ISO strings, which from_json parses back."""
+    import datetime
+    import json
+
+    def conv(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if v is None or isinstance(v, (str, int, float, bool)):
+            return v
+        raise TypeError(type(v))
+
+    try:
+        return [
+            json.dumps({
+                k: {dst: conv(p[i]) for i, (_, dst) in enumerate(pairs)}
+                for (f2, p2, k), p in prepared.items()
+                if f2 == f_ and p2 == l_
+            }, ensure_ascii=False)
+            for f_, l_ in lengths
+        ]
+    except TypeError:
+        return None
+
+
 @register("enrich_cidr")
 def enrich_cidr(cfg: dict[str, Any]) -> Stage:
     """Longest-prefix CIDR-range enrich — the geoip join shape
@@ -148,13 +241,26 @@ def enrich_cidr(cfg: dict[str, Any]) -> Stage:
     ~20 s fixed analysis/codegen job on the giant column-level IPv6 tree
     PER STAGE APPLY (measured r4, 6-row dim). The event ip is hex-encoded
     ONCE, then for each distinct prefix length the event computes its
-    constant-length masked key and LEFT BROADCAST-joins that length's
-    literal slice, longest first; the payload is the first non-null
-    match. All map-side: at 100 TB this is ≤ address-bits broadcast hash
-    joins and ZERO shuffles of the event stream — no explode
-    amplification, no groupBy to pick the longest match. IPv4 and IPv6
-    dims coexist (keys are family-tagged). Duplicate dim rows at the same
-    (family, prefix, key) keep the first, matching hash-lookup
+    constant-length masked key and looks up that length's slice, longest
+    first; the payload is the first non-null match. Two physical
+    strategies, picked by dim size:
+
+    - ``≤ _INLINE_MAX_ENTRIES`` total entries (the internal-networks /
+      office-CIDR case): each slice is FOLDED INTO THE PLAN as a constant
+      ``map<string,struct>`` literal (``from_json`` of a literal, constant-
+      folded by Catalyst) probed with ``try_element_at`` — zero join
+      nodes, zero extra jobs, and none of the L-join per-action optimizer
+      tax (measured ~1.4 s/action at r4). Catalyst map literals are
+      array-backed (O(entries) per probe), hence the cap.
+    - larger dims (the MaxMind-scale case): LEFT BROADCAST-join per
+      distinct prefix length — O(1) hash probes, dim ships once per
+      executor.
+
+    Both are map-side: at 100 TB this is ≤ address-bits broadcast hash
+    joins (or pure projection) and ZERO shuffles of the event stream — no
+    explode amplification, no groupBy to pick the longest match. IPv4 and
+    IPv6 dims coexist (keys are family-tagged). Duplicate dim rows at the
+    same (family, prefix, key) keep the first, matching hash-lookup
     first-wins."""
     lookup_name = cfg.get("lookup")
     table_path = cfg.get("table")
@@ -171,7 +277,6 @@ def enrich_cidr(cfg: dict[str, Any]) -> Stage:
     class EnrichCIDR(Stage):
         def custom(self, df: DataFrame) -> DataFrame:
             from beats_spark.event import with_path
-            from beats_spark.processors.flowhash import _ip_bytes
 
             if not has_path(df.schema, on):
                 if ignore_missing:
@@ -206,17 +311,33 @@ def enrich_cidr(cfg: dict[str, Any]) -> Stage:
 
             ip = get_path(df, on).cast("string")
             existing = {c.lower() for c in df.columns}
-            names = ["hex"] + [f"{kp}{x}" for x in range(len(lengths))
-                               for kp in ("k", "p")]
+            names = ["hex", "s", "l", "r"] + [
+                f"{kp}{x}" for x in range(len(lengths)) for kp in ("k", "p")]
             tp, i = "__cidr_", 0
             while any(f"{tp}{x}".lower() in existing for x in names):
                 i += 1
                 tp = f"__cidr{i}_"
-            df = df.withColumn(tp + "hex", F.hex(_ip_bytes(ip)))
-            ev_hex = F.col(tp + "hex")
+            df, hex_col, temp_cols = _stage_ip_hex(df, ip, tp)
+            ev_hex = F.col(hex_col)
             ev_fam = F.when(F.length(ev_hex) == 8, "4").otherwise("6")
 
+            inline_maps = (len(prepared) <= _INLINE_MAX_ENTRIES
+                           and _json_literal_slices(prepared, lengths, pairs))
+
             hits: list[Column] = []
+            if inline_maps:
+                map_t = T.MapType(T.StringType(), payload_t)
+                for (f_, l_), js in zip(lengths, inline_maps):
+                    # same NULL-hex guard as the join path: a /0 row's
+                    # masked key is the constant '', so an unguarded
+                    # catch-all would "enrich" NULL/unparseable ips
+                    ev_key = F.when((ev_fam == f_) & ev_hex.isNotNull(),
+                                    _mask_hex_const(ev_hex, l_))
+                    hits.append(
+                        F.try_element_at(F.from_json(F.lit(js), map_t), ev_key))
+                payload = F.coalesce(*hits) if hits else F.lit(None)
+                return with_path(df, target, payload).drop(*temp_cols)
+
             for idx, (f_, l_) in enumerate(lengths):
                 slice_schema = T.StructType([
                     T.StructField(f"{tp}k{idx}", T.StringType(), False),
@@ -235,7 +356,7 @@ def enrich_cidr(cfg: dict[str, Any]) -> Stage:
                 hits.append(F.col(f"{tp}p{idx}"))
             payload = F.coalesce(*hits) if hits else F.lit(None)
             out = with_path(df, target, payload)
-            return out.drop(tp + "hex",
+            return out.drop(*temp_cols,
                             *[f"{tp}k{i}" for i in range(len(lengths))],
                             *[f"{tp}p{i}" for i in range(len(lengths))])
 

@@ -368,7 +368,8 @@ def test_no_python_in_plan(parsed):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
-    # the geoip-shaped enrich joins must be broadcast (map-side), never a
-    # shuffle of the event stream
-    assert "BroadcastHashJoin" in plan
+    # the geoip-shaped enrich must never shuffle the event stream; with a
+    # small dim it folds into the projection as constant map literals (no
+    # join node at all), a large dim would show BroadcastHashJoin
+    assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan

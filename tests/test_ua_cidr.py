@@ -256,15 +256,93 @@ def test_cidr_user_staging_columns_survive(spark, cidr_chain):
     assert r["geo"]["region"] == "annex"
 
 
-def test_cidr_broadcast_plan(spark, cidr_chain):
-    """The event stream must never shuffle: broadcast joins only."""
+def test_cidr_small_dim_plan_is_pure_projection(spark, cidr_chain):
+    """A small dim folds into the plan as constant map literals: the event
+    stream must see NO join, NO shuffle, NO Python — one projection."""
     df = spark.createDataFrame([("10.1.2.3",)], "ip string")
     out = apply_chain(df, cidr_chain)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_cidr_large_dim_plan_is_broadcast_join(spark, monkeypatch):
+    """Above the inline cap the event stream must never shuffle: broadcast
+    hash joins only (O(1) probes — map literals are linear scans)."""
+    from beats_spark.processors import enrich as enrich_mod
+
+    monkeypatch.setattr(enrich_mod, "_INLINE_MAX_ENTRIES", 0)
+    register_lookup(
+        "test_geo_big",
+        lambda: spark.createDataFrame(CIDR_DIM, "cidr string, region string"))
+    chain = build_chain([
+        {"enrich_cidr": {"lookup": "test_geo_big", "on": "ip",
+                         "target": "geo"}},
+    ])
+    df = spark.createDataFrame([("10.1.2.3",)], "ip string")
+    out = apply_chain(df, chain)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_cidr_inline_and_join_paths_agree(spark, monkeypatch):
+    """The plan-inlined map-literal strategy and the broadcast-join
+    strategy are physical alternatives of ONE operator — identical output
+    on a corpus spanning both families, misses, invalid and NULL ips."""
+    from beats_spark.processors import enrich as enrich_mod
+
+    ips = [(ip,) for ip, _ in [
+        ("10.200.1.1", "corp"), ("10.1.3.4", "lab"), ("10.1.2.9", "annex"),
+        ("192.168.254.3", "home"), ("203.0.113.77", "host77"),
+        ("203.0.113.78", None), ("172.16.0.1", None),
+        ("2001:db8:ffff::1", "docrange"), ("2001:db8:0:1::5", "docsub"),
+        ("2001:dead::1", None), ("not-an-ip", None), (None, None),
+    ]]
+    df = spark.createDataFrame(ips, "ip string")
+    register_lookup(
+        "test_geo_both",
+        lambda: spark.createDataFrame(CIDR_DIM, "cidr string, region string"))
+    cfg = [{"enrich_cidr": {"lookup": "test_geo_both", "on": "ip",
+                            "target": "geo"}}]
+    outs = []
+    for cap in (256, 0):
+        monkeypatch.setattr(enrich_mod, "_INLINE_MAX_ENTRIES", cap)
+        outs.append(sorted(
+            ((r["ip"] or "", r["geo"]["region"] if r["geo"] is not None
+              else None) for r in apply_chain(df, build_chain(cfg)).collect()),
+            key=lambda t: (t[0], t[1] or "")))
+    assert outs[0] == outs[1]
+
+
+def test_stage_ip_hex_parity_with_ip_bytes(spark):
+    """_stage_ip_hex (staged temp-column form) must be value-identical to
+    F.hex(_ip_bytes(ip)) — the oracle-pinned parser — on a torture corpus:
+    compression, embedded v4 tails, shape violations, whitespace, NULL."""
+    from beats_spark.processors.enrich import _stage_ip_hex
+    from beats_spark.processors.flowhash import _ip_bytes
+
+    cases = [
+        "10.1.2.3", "0.0.0.0", "255.255.255.255", "256.1.2.3", "1.2.3",
+        "1.2.3.4.5", "999.1.2.3", "::", "::1", "2001:db8::1",
+        "2001:db8:0:1::ffff", "fe80::1%eth0", "2001:db8::1::2", ":::",
+        ":1:2:3:4:5:6:7", "1:2:3:4:5:6:7:", "1:2:3:4:5:6:7:8",
+        "1:2:3:4:5:6:7:8:9", "::ffff:1.2.3.4", "::ffff:999.1.2.3",
+        "::ffff:1.2.3.999", "0:0:0:0:0:0:0:0", "abcd:ef01::", "ABCD::",
+        " 10.1.2.3 ", "", "not an ip", None, "12345::", "1::2:3:4:5:6:7",
+        "::ffff:300.1.2.3", "1.2.3.04", "01:2::",
+        "2001:0db8:0000:0001:0000:0000:0000:0001",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "ip string")
+    staged, hx, _ = _stage_ip_hex(df, F.col("ip"), "__t_")
+    staged = staged.withColumn("old", F.hex(_ip_bytes(F.col("ip"))))
+    bad = staged.filter(~F.col(hx).eqNullSafe(F.col("old"))) \
+        .select("ip", hx, "old").collect()
+    assert not bad, bad
 
 
 def test_cidr_table_path_variant(spark, tmp_path):

@@ -827,6 +827,45 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.gopher_keep(F.col("text")).alias("keep"))
 
 
+def q_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kv processor — dynamic key=value → map<string,string> (the ES ingest
+    kv stage auditd-class pipelines delegate to, auditd pipeline.yml:25-35).
+    Lines are BUILT from transcript columns across four shapes: plain, a
+    malformed bare token (strict row failure), a repeated key (first wins),
+    and a bracketed value (strip_brackets). The map is canonicalized to a
+    sorted 'k=v|k=v' string so the DuckDB oracle — an independent list-
+    algebra reimplementation of the same split/once/strip semantics — can
+    hash-compare values."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    t = _transcripts(spark, sf_dir)
+    m = F.pmod(F.col("turn_idx"), F.lit(4))
+    line = F.concat(
+        F.lit("pid="), F.col("turn_idx").cast("string"),
+        F.lit(" role="), F.coalesce(F.col("role"), F.lit("none")),
+        F.lit(" conv="), F.col("conv_id"),
+        F.when(m == 1, F.lit(" badtoken"))
+        .when(m == 2, F.lit(" pid=999"))
+        .when(m == 3, F.concat(
+            F.lit(" msg=[q-"),
+            F.pmod(F.col("turn_idx") * 7, F.lit(100)).cast("string"),
+            F.lit("]")))
+        .otherwise(F.lit("")),
+    )
+    df = t.withColumn("line", line)
+    out = apply_chain(df, build_chain([
+        {"kv": {"field": "line", "target": "kvm", "strip_brackets": True}},
+    ]))
+    return out.select(
+        "conv_id", "turn_idx",
+        F.array_join(
+            F.array_sort(F.transform(
+                F.map_entries(F.col("kvm")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]))),
+            "|").alias("kv_csv"),
+        F.col("kvm").isNull().alias("kv_failed"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -877,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "pii_scrub": q_pii_scrub,
         "gopher_quality": q_gopher_quality,
+        "kv_parse": q_kv_parse,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1419,6 +1459,49 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _with_t(
             f"SELECT conv_id, turn_idx, {pii_expr} AS clean FROM transcripts"
         ),
+        # independent list-algebra reimplementation of kv: split on \s+,
+        # split each part ONCE on '=', strict failure on a bare token,
+        # first-wins on repeated keys, single-layer bracket strip
+        "kv_parse": _with_t("""
+            , src AS (
+              SELECT conv_id, turn_idx,
+                'pid=' || turn_idx || ' role=' || coalesce(role, 'none')
+                || ' conv=' || conv_id
+                || CASE WHEN turn_idx % 4 = 1 THEN ' badtoken'
+                        WHEN turn_idx % 4 = 2 THEN ' pid=999'
+                        WHEN turn_idx % 4 = 3
+                          THEN ' msg=[q-' || (turn_idx * 7 % 100) || ']'
+                        ELSE '' END AS line
+              FROM transcripts),
+            p AS (
+              SELECT conv_id, turn_idx,
+                list_filter(string_split_regex(line, '[ \t]+'),
+                            x -> x <> '') AS parts
+              FROM src),
+            e AS (
+              SELECT conv_id, turn_idx,
+                len(list_filter(parts, x -> strpos(x, '=') = 0)) > 0 AS failed,
+                list_filter(parts, x -> strpos(x, '=') > 0) AS kvs
+              FROM p),
+            d AS (
+              SELECT conv_id, turn_idx, failed,
+                list_sort(list_transform(
+                  list_filter(kvs, (x, i) -> NOT list_contains(
+                      list_transform(kvs[1:i-1],
+                                     y -> string_split(y, '=')[1]),
+                      string_split(x, '=')[1])),
+                  x -> string_split(x, '=')[1] || '=' ||
+                       regexp_replace(regexp_replace(
+                         substr(x, strpos(x, '=') + 1),
+                         '^[\\(\\[<"'']', ''), '[\\)\\]>"'']$', '')
+                )) AS entries
+              FROM e)
+            SELECT conv_id, turn_idx,
+              CASE WHEN failed THEN NULL
+                   ELSE array_to_string(entries, '|') END AS kv_csv,
+              failed AS kv_failed
+            FROM d
+        """),
         "gopher_quality": f"""
             WITH l AS (
               SELECT doc_id, {toks} AS tk,

@@ -19,6 +19,7 @@ from beats_spark.processors import enrich  # noqa: F401,E402
 from beats_spark.processors import fingerprint  # noqa: F401,E402
 from beats_spark.processors import flowhash  # noqa: F401,E402
 from beats_spark.processors import grok  # noqa: F401,E402
+from beats_spark.processors import kv  # noqa: F401,E402
 from beats_spark.processors import misc  # noqa: F401,E402
 from beats_spark.processors import script  # noqa: F401,E402
 from beats_spark.processors import stateful  # noqa: F401,E402

@@ -244,6 +244,65 @@ def lsh_topk(
     )
 
 
+def write_bucketed(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    coef_hash: str = "xx",
+) -> None:
+    """Materialize the corpus hive-partitioned by its hyperplane bucket —
+    the 100 TB layout ``lsh_topk``'s docstring promises: a probe against
+    the written table prunes whole bucket DIRECTORIES at file-listing time
+    (the ``__bkt`` predicate lands in the scan's ``PartitionFilters``), so
+    a probe reads ~``C(planes, ≤hamming)/2^planes`` of the corpus bytes
+    instead of filtering rows after a full scan.
+
+    One signature pass (the relational ``_bucket_projs``), one id-join,
+    one partitioned write. 2^num_planes directories — keep num_planes
+    moderate (8 → 256 partitions) so files stay large at scale."""
+    b = hyperplane_buckets(corpus, vec_col, id_col, num_planes, coef_hash) \
+        .withColumnRenamed("__id", id_col)
+    corpus.join(b, id_col).write.partitionBy("__bkt") \
+        .mode("overwrite").parquet(path)
+
+
+def lsh_topk_bucketed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    probe_hamming: int = 2,
+    exclude_id: int | None = None,
+    coef_hash: str = "xx",
+) -> DataFrame:
+    """``lsh_topk`` over a :func:`write_bucketed` corpus. Identical
+    results; the bucket probe becomes a PARTITION filter (it references
+    only the partition column), so unprobed buckets are never read."""
+    q = F.lit(query_vec).cast("array<double>")
+    qb_val = spark.range(1).select(
+        hyperplane_bucket(q, num_planes, coef_hash).alias("b")
+    ).collect()[0]["b"]
+    df = spark.read.parquet(path)
+    probed = df.filter(
+        F.bit_count(F.col("__bkt").cast("long").bitwiseXOR(F.lit(qb_val)))
+        <= probe_hamming)
+    if exclude_id is not None:
+        probed = probed.filter(F.col(id_col) != exclude_id)
+    return (
+        probed.select(
+            F.col(id_col),
+            cosine(F.col(vec_col).cast("array<double>"), q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("score", 6).alias("score"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     query_vec: list[float],

@@ -131,6 +131,33 @@ def test_lsh_topk_recall(emb):
     assert overlap >= 5  # recall@10 ≥ 0.5 with 8 planes / probe 3
 
 
+def test_bucketed_lsh_prunes_partitions_and_matches_in_memory(
+        spark, emb, tmp_path_factory):
+    """The 100 TB layout, materialized: write_bucketed partitions the
+    corpus by hyperplane bucket; the probe's __bkt predicate must land in
+    the scan's PartitionFilters (whole unprobed bucket directories are
+    never read) and return EXACTLY the in-memory lsh_topk results."""
+    import os
+    path = str(tmp_path_factory.mktemp("ann") / "bucketed")
+    similarity.write_bucketed(emb, path, num_planes=6)
+    # hive layout on disk: one directory per bucket
+    dirs = [d for d in os.listdir(path) if d.startswith("__bkt=")]
+    assert len(dirs) > 1
+
+    pdf = emb.toPandas()
+    q = [float(x) for x in pdf["embedding"][0]]
+    got = similarity.lsh_topk_bucketed(
+        spark, path, q, k=10, num_planes=6, probe_hamming=2, exclude_id=0)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the bucket probe is a PARTITION filter, not a post-scan row filter
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "bit_count" in pf[0], plan
+    want = similarity.lsh_topk(emb, q, k=10, num_planes=6,
+                               probe_hamming=2, exclude_id=0).toPandas()
+    pd.testing.assert_frame_equal(
+        got.toPandas().reset_index(drop=True), want.reset_index(drop=True))
+
+
 def test_ivf_topk_probes_clusters(emb):
     pdf = emb.toPandas()
     q = [float(x) for x in pdf["embedding"][0]]

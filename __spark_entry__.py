@@ -42,11 +42,24 @@ def _prep(spark: SparkSession) -> None:
             # on the next _prep call
 
 
+_TRANSCRIPT_PLANS: dict[tuple[str, str], DataFrame] = {}
+
+
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-transcripts plan, memoized per (session, sf_dir).
+
+    DataFrames are immutable plans, so reuse across the ~20 queries that
+    share the derivation is safe and skips the repeated parquet footer
+    read + window/expression analysis (~0.4 s of driver time per query
+    call — the single largest shared plan-build cost on the bench board).
+    This caches the PLAN only; no data is persisted."""
     from beats_spark.testdata import transcripts_from_events
 
     _prep(spark)
-    return transcripts_from_events(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TRANSCRIPT_PLANS:
+        _TRANSCRIPT_PLANS[key] = transcripts_from_events(spark, sf_dir)
+    return _TRANSCRIPT_PLANS[key]
 
 
 def _with_t(sql: str) -> str:

@@ -269,12 +269,18 @@ class IcebergCatalog:
             return
         snaps = self.snapshots(table)
         val = intents[run_id]
-        # anchor prefix must be snapshot-id-shaped (digits) or '-' (empty
-        # table): legacy intent values are bare src_dirs, and a URL like
-        # 's3://…' must parse as legacy (whole-ancestry scan), not as a
-        # bogus anchor
-        prefix = val.split(":", 1)[0] if ":" in val else ""
-        anchor = prefix if prefix == "-" or prefix.isdigit() else None
+        if val.startswith("v2:"):
+            # current format: 'v2:<anchor>:<src_dir>' — explicit marker,
+            # no sniffing (src_dir after the second ':' is diagnostic)
+            anchor = val[3:].split(":", 1)[0]
+        else:
+            # legacy compatibility: pre-v2 anchored values were
+            # '<anchor>:<src_dir>' and the oldest were bare src_dirs; the
+            # anchor prefix must be snapshot-id-shaped (digits) or '-'
+            # (empty table) — a URL like 's3://…' parses as legacy bare
+            # (whole-ancestry scan), not as a bogus anchor
+            prefix = val.split(":", 1)[0] if ":" in val else ""
+            anchor = prefix if prefix == "-" or prefix.isdigit() else None
         start = 0
         if anchor and anchor != "-":
             idx = next((i for i, s in enumerate(snaps)
@@ -383,10 +389,14 @@ class IcebergCatalog:
             # claimed by a crashed adopt (src_dir after ':' is diagnostic)
             tail = self.latest_snapshot(table)
             anchor = tail.snapshot_id if tail else "-"
+            # 'v2:' marks the anchored format unambiguously — recovery
+            # must never have to SNIFF whether a value is an anchor or a
+            # legacy bare src_dir (a relative dir like '123:x' would
+            # otherwise misparse as an anchor)
             self.spark.sql(
                 f"ALTER TABLE {self._t(table)} SET TBLPROPERTIES "
                 f"('run-intent.{sql_str(run_id)}' = "
-                f"'{sql_str(f'{anchor}:{src_dir}')}')"
+                f"'{sql_str(f'v2:{anchor}:{src_dir}')}')"
             )
         self.spark.sql(
             add_files_sql(self.catalog, self.namespace, table, src_dir)

@@ -417,6 +417,14 @@ def uri_parts(cfg: dict[str, Any]) -> Stage:
     path). JVM-side via Spark's ``parse_url``; scheme-less inputs (the
     common access-log case, ``/path?q=1``) are parsed against a synthetic
     base so PATH/QUERY still resolve.
+
+    Documented divergence: a scheme-less input with a colon before the
+    first slash (``example.com:8080/x``) is treated as a pure RELATIVE
+    path here (the whole input becomes ``url.path``), whereas ES's
+    ``java.net.URI`` would parse ``example.com`` as the SCHEME of an
+    opaque URI — output that is itself wrong for what users mean by
+    host:port. Neither engine extracts host/port from that shape; pass a
+    full ``scheme://host:port/...`` URI for authority parsing.
     """
     fld = cfg["field"]
     target = cfg.get("target_field", "url")

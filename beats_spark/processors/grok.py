@@ -247,25 +247,71 @@ def grok(cfg: dict[str, Any]) -> Stage:
             # also keep their old value (ES writes only the winner's
             # captures)
             if target:
-                old = (get_path(df, target) if has_path(df.schema, target)
-                       else None)
-                payload = F.struct(*[
-                    F.when(w, v).otherwise(
-                        get_path(df, f"{target}.{n}")).alias(n)
-                    for n, (v, w) in cols.items()])
-                any_written = F.lit(False)
-                for _, w in cols.values():
-                    any_written = any_written | w
-                if old is not None:
-                    payload = F.when(any_written, payload).otherwise(old)
+                from pyspark.sql import types as T
+
+                from beats_spark.event import _quote, path_type
+
+                t_type = path_type(df.schema, target)
+                if isinstance(t_type, T.StructType):
+                    # MERGE captures into the existing struct (withField):
+                    # pre-existing fields no capture writes survive matched
+                    # rows, and both branches of the null-struct split have
+                    # the identical shape — replacing the whole struct
+                    # dropped foreign fields and failed analysis against a
+                    # differently-shaped old struct (r4 ADVICE finding)
+                    old = get_path(df, target)
+                    merged = old
+                    for n, (v, w) in cols.items():
+                        prev = (get_path(df, f"{target}.{n}")
+                                if has_path(df.schema, f"{target}.{n}")
+                                else F.lit(None))
+                        merged = merged.withField(
+                            _quote(n), F.when(w, v).otherwise(prev))
+                    # a NULL old struct nullifies withField — matched rows
+                    # must still create the struct, with the same shape:
+                    # old fields (null unless captured) in order, then
+                    # appended capture fields
+                    fresh: list[Column] = []
+                    old_names = set()
+                    for f_ in t_type.fields:
+                        old_names.add(f_.name)
+                        if f_.name in cols:
+                            v, w = cols[f_.name]
+                            fresh.append(F.when(w, v).alias(f_.name))
+                        else:
+                            fresh.append(
+                                F.lit(None).cast(f_.dataType).alias(f_.name))
+                    for n, (v, w) in cols.items():
+                        if n not in old_names:
+                            fresh.append(F.when(w, v).alias(n))
+                    payload = F.when(old.isNotNull(), merged) \
+                        .otherwise(F.struct(*fresh))
                 else:
+                    # no pre-existing struct (or a non-struct value, which
+                    # a struct column replaces): build from captures only
+                    payload = F.struct(*[
+                        F.when(w, v).alias(n) for n, (v, w) in cols.items()])
+                    any_written = F.lit(False)
+                    for _, w in cols.values():
+                        any_written = any_written | w
                     payload = F.when(any_written, payload)
                 df = with_path(df, target, payload)
             else:
+                # batch all TOP-LEVEL fields into one projection — a
+                # with_path per field is one eager JVM analysis each
+                # (~0.1 s of driver time per field on warm sessions);
+                # nested paths still go through with_path's struct rebuild
+                flat: dict[str, Column] = {}
                 for n, (v, w) in cols.items():
                     prev_v = (get_path(df, n) if has_path(df.schema, n)
                               else F.lit(None))
-                    df = with_path(df, n, F.when(w, v).otherwise(prev_v))
+                    val = F.when(w, v).otherwise(prev_v)
+                    if "." in n:
+                        df = with_path(df, n, val)
+                    else:
+                        flat[n] = val
+                if flat:
+                    df = df.withColumns(flat)
             # failure is always visible in log.flags (like dissect);
             # error.message only without ignore_failure
             df = append_flag(df, "grok_parsing_error", cond=failed)

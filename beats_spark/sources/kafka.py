@@ -57,7 +57,19 @@ def kafka_writer_frame(df: DataFrame, *, topic_col: str = "_sink",
     hash fields become ``partition = pmod(hash(fields), num_partitions)``.
     Only when no key is configured do the hash fields double as the key
     (Kafka's default partitioner hashes the key, reproducing hash
-    partitioning without broker metadata)."""
+    partitioning without broker metadata).
+
+    Documented divergences / API notes:
+    - The explicit partition column hashes with ``xxhash64`` — NEITHER
+      beats' ``partition.hash`` (FNV-1a, libbeat/outputs/kafka/
+      partition.go) nor Kafka's default murmur2-of-key, so physical
+      partition PLACEMENT differs from a real beats deployment. The
+      routing INVARIANT is preserved: same hash_fields values → same
+      partition, deterministically.
+    - Since r4, configs with BOTH key_fmtstr and hash_fields require
+      ``num_partitions`` (previously they silently returned a frame whose
+      hash fields the sink ignored — that was a correctness bug, and
+      making it loud is a deliberate breaking change)."""
     from beats_spark.fmtstr import compile_fmtstr
 
     payload_cols = [c for c in df.columns if not c.startswith("_")]

@@ -335,5 +335,7 @@ def test_no_python_in_plan_and_broadcast_joins(parsed):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
-    assert "BroadcastHashJoin" in plan
+    # small geoip dims now fold into the projection as constant map
+    # literals (no join node); the event stream must still never shuffle
+    assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan

@@ -837,6 +837,43 @@ def test_grok_fallback_chain_preserves_previous_extraction(spark):
     assert "grok_parsing_error" in (out[0]["log"]["flags"] or [])
 
 
+def test_grok_target_merges_into_existing_struct(spark):
+    """With target_prefix set, a matched grok must MERGE its captures into
+    a pre-existing target struct: foreign fields (written by an earlier
+    stage) survive matched rows, and a differently-shaped old struct no
+    longer fails analysis (r4 ADVICE finding)."""
+    out = run(
+        spark,
+        [("id=7 GET",), ("miss",)],
+        "text string",
+        [{"add_fields": {"target": "p", "fields": {"origin": "chainA"}}},
+         {"grok": {"pattern": "id=%{INT:id:long} %{WORD:method}",
+                   "field": "text", "target_prefix": "p"}}],
+    ).orderBy("text").collect()
+    hit = {r["text"]: r for r in out}["id=7 GET"]
+    miss = {r["text"]: r for r in out}["miss"]
+    assert hit["p"]["origin"] == "chainA"  # foreign field survives the match
+    assert hit["p"]["id"] == 7 and hit["p"]["method"] == "GET"
+    assert miss["p"]["origin"] == "chainA"
+    assert miss["p"]["id"] is None and miss["p"]["method"] is None
+
+
+def test_grok_target_merge_null_old_struct_row(spark):
+    """Rows where the pre-existing target struct is NULL must still get a
+    struct on match (withField alone would nullify)."""
+    out = run(
+        spark,
+        [("id=7", "x"), ("id=8", "y")],
+        "text string, kind string",
+        [{"add_fields": {"target": "p", "fields": {"seen": "yes"},
+                         "when": {"equals": {"kind": "x"}}}},
+         {"grok": {"pattern": "id=%{INT:id:long}", "field": "text",
+                   "target_prefix": "p"}}],
+    ).orderBy("text").collect()
+    assert out[0]["p"]["seen"] == "yes" and out[0]["p"]["id"] == 7
+    assert out[1]["p"]["seen"] is None and out[1]["p"]["id"] == 8
+
+
 def test_enrich_dim_column_collision(spark):
     """A dim column named like an event column must neither be ambiguous
     nor destroy the event's own column."""

@@ -262,10 +262,17 @@ def write_bucketed(
     One signature pass (the relational ``_bucket_projs``), one id-join,
     one partitioned write. 2^num_planes directories — keep num_planes
     moderate (8 → 256 partitions) so files stay large at scale."""
-    b = hyperplane_buckets(corpus, vec_col, id_col, num_planes, coef_hash) \
+    base = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"))
+    # _bucket_projs directly (not hyperplane_buckets, whose internal id-
+    # spine join would make this TWO corpus-sized joins): one signature
+    # pass, one left join, NULL/empty vectors coalesce to bucket 0
+    b = _bucket_projs(base, num_planes, coef_hash) \
         .withColumnRenamed("__id", id_col)
-    corpus.join(b, id_col).write.partitionBy("__bkt") \
-        .mode("overwrite").parquet(path)
+    (corpus.join(b, id_col, "left")
+     .withColumn("__bkt", F.coalesce(F.col("__bkt"), F.lit(0).cast("long")))
+     .write.partitionBy("__bkt").mode("overwrite").parquet(path))
 
 
 def lsh_topk_bucketed(

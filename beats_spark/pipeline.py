@@ -160,6 +160,20 @@ class Pipeline:
         df = df.observe(obs, F.count(F.lit(1)).alias("events_in"))
 
         routed = self.transform(df)
+        # PySpark Observation captures only the FIRST action touching its
+        # node. Stages with plan-time sampling (schema-less
+        # decode_json_fields, timestamp sample validation) run a
+        # limit(1)-style collect DURING transform() — on the observed
+        # lineage — which would freeze events_in at the sample job's
+        # partial count. Detect consumption (non-blocking probe) and fall
+        # back to an explicit count job: only configs with sampling
+        # stages pay the second scan.
+        try:
+            # getRowOrEmpty returns a scala Option (py4j does NOT map its
+            # None$ to Python None — probe .isEmpty(), not `is None`)
+            obs_consumed = not obs._jo.getRowOrEmpty().isEmpty()
+        except Exception:
+            obs_consumed = True  # can't prove it's clean → pay the scan
         payload_cols = [c for c in routed.columns if not c.startswith(META_PREFIX)]
         routed = routed.select(*payload_cols)
         if self.config.cluster_by:
@@ -193,7 +207,8 @@ class Pipeline:
             sink_counts[s] = sink_counts.get(s, 0) + c
             metrics_rows.append((run_id, int(p) if p is not None else -1, s, 0, 0, c))
         # the staging write has run, so the observed metric is available now
-        events_in = int(obs.get["events_in"])
+        events_in = (int(df.count()) if obs_consumed
+                     else int(obs.get["events_in"]))
         events_routed_total = sum(sink_counts.values())
         metrics_rows.append(
             (run_id, -1, None, events_in, events_in - events_routed_total, 0)

@@ -208,15 +208,18 @@ def _json_literal_slices(prepared, lengths, pairs) -> list[str] | None:
         raise TypeError(type(v))
 
     try:
+        # allow_nan=False: bare NaN/Infinity is invalid JSON — from_json
+        # would NULL the whole slice map and every key of that prefix
+        # length would silently miss; such dims take the join path instead
         return [
             json.dumps({
                 k: {dst: conv(p[i]) for i, (_, dst) in enumerate(pairs)}
                 for (f2, p2, k), p in prepared.items()
                 if f2 == f_ and p2 == l_
-            }, ensure_ascii=False)
+            }, ensure_ascii=False, allow_nan=False)
             for f_, l_ in lengths
         ]
-    except TypeError:
+    except (TypeError, ValueError):
         return None
 
 

@@ -284,8 +284,14 @@ def grok(cfg: dict[str, Any]) -> Stage:
                     for n, (v, w) in cols.items():
                         if n not in old_names:
                             fresh.append(F.when(w, v).alias(n))
+                    # a NULL old struct on a row NO pattern matched stays
+                    # NULL (ES never creates the target on grok failure) —
+                    # an unguarded fresh struct would be non-null all-NULL
+                    any_written = F.lit(False)
+                    for _, w in cols.values():
+                        any_written = any_written | w
                     payload = F.when(old.isNotNull(), merged) \
-                        .otherwise(F.struct(*fresh))
+                        .otherwise(F.when(any_written, F.struct(*fresh)))
                 else:
                     # no pre-existing struct (or a non-struct value, which
                     # a struct column replaces): build from captures only

@@ -631,7 +631,8 @@ def main() -> None:
     if len(line) > 4000:  # belt-and-braces: never emit an unparseable tail
         slim = {k: result[k] for k in
                 ("metric", "value", "unit", "sf", "queries", "scaling",
-                 "window_ok_headline") if k in result}
+                 "window_ok_headline", "cpu_probe_best", "headline_blocks")
+                if k in result}
         line = json.dumps(slim)
     print(line)
 

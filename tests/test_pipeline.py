@@ -394,6 +394,30 @@ def test_run_scans_input_exactly_once(spark, transcripts, tmp_path):
             + m[m["sink"].notna()]["events_routed"].sum()) == n
 
 
+def test_events_in_correct_with_plan_time_sampling_stage(spark, transcripts,
+                                                         tmp_path):
+    """PySpark Observation captures only the FIRST action on its node; a
+    schema-less decode_json_fields runs a limit(1) sampling collect DURING
+    transform(), which would freeze events_in at the sample job's partial
+    count (often 1). run() must detect the consumed observation and fall
+    back to a real count (r5 review finding)."""
+    src = transcripts.withColumn(
+        "raw", F.concat(F.lit('{"k":'), F.col("turn_idx").cast("string"),
+                        F.lit("}")))
+    cfg = PipelineConfig(
+        processors=[
+            {"decode_json_fields": {"fields": ["raw"]}},  # no schema → sample
+            {"drop_event": {"when": {"equals": {"role": "system"}}}},
+        ],
+        routes=[{"sink": "s_%{[tool]}"}],
+    )
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    res = Pipeline(spark, cfg, cat).run(src, run_id="sampled")
+    n = transcripts.count()
+    assert res.events_in == n
+    assert sum(res.sinks.values()) + res.events_dropped == n
+
+
 def test_catalog_read_unknown_snapshot_raises(spark, transcripts, tmp_path):
     cat = ParquetCatalog(spark, str(tmp_path / "wh"))
     s = cat.append(transcripts, "t")

@@ -149,6 +149,135 @@ def with_path(df: DataFrame, path: str, value: Column) -> DataFrame:
     return out.drop(tmp)
 
 
+def _fresh_tree(tree: dict) -> Column:
+    return F.struct(*[
+        (_fresh_tree(sub) if isinstance(sub, dict) else sub).alias(name)
+        for name, sub in tree.items()
+    ])
+
+
+def _leaf_values(tree: dict) -> list[Column]:
+    out: list[Column] = []
+    for sub in tree.values():
+        out.extend(_leaf_values(sub) if isinstance(sub, dict) else [sub])
+    return out
+
+
+def _all_null(values: list[Column]) -> Column:
+    cond = values[0].isNull()
+    for v in values[1:]:
+        cond = cond & v.isNull()
+    return cond
+
+
+def _set_tree(parent: Column, parent_type: T.StructType, tree: dict) -> Column:
+    """Multi-leaf generalization of _set_nested: writes EVERY (sub)field of
+    ``tree`` into ``parent`` in one pass, with the same per-level NULL
+    restore (a NULL parent stays NULL only when every value written at or
+    below that level is NULL — exactly what sequential _set_nested calls
+    converge to)."""
+    orig = parent
+    out = _writable(parent, parent_type)
+    for name, sub in tree.items():
+        if isinstance(sub, dict):
+            child_t = (parent_type[name].dataType
+                       if name in parent_type.fieldNames() else None)
+            if isinstance(child_t, T.StructType):
+                v = _set_tree(parent.getField(name), child_t, sub)
+            else:
+                v = _fresh_tree(sub)
+        else:
+            v = sub
+        out = out.withField(_quote(name), v)
+    return F.when(orig.isNull() & _all_null(_leaf_values(tree)),
+                  F.lit(None)).otherwise(out)
+
+
+def with_paths(df: DataFrame, updates: dict[str, Column]) -> DataFrame:
+    """Set several (possibly nested) fields with a BOUNDED number of eager
+    plan analyses: one staging projection for all values, one projection
+    writing every touched root, one drop — instead of with_path's three
+    eager ops PER path (measured ~0.15 s of driver time each on plans
+    carrying large expression trees; user_agent writes 7 paths).
+
+    Value-equal to applying ``with_path`` per entry in dict order for
+    non-overlapping paths; when one update path is a prefix of another
+    (order-dependent) it falls back to exactly that sequential loop."""
+    if len(updates) <= 1:
+        for p, v in updates.items():
+            df = with_path(df, p, v)
+        return df
+    # build one {field: value-or-subtree} tree per root column; bail to the
+    # sequential loop on prefix-overlapping paths
+    trees: dict[str, object] = {}
+    for path, value in updates.items():
+        parts = split_path(path)
+        if len(parts) == 1:
+            if parts[0] in trees:
+                return _with_paths_seq(df, updates)
+            trees[parts[0]] = value
+            continue
+        node = trees.setdefault(parts[0], {})
+        if not isinstance(node, dict):
+            return _with_paths_seq(df, updates)
+        for p in parts[1:-1]:
+            nxt = node.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                return _with_paths_seq(df, updates)
+            node = nxt
+        if parts[-1] in node:
+            return _with_paths_seq(df, updates)
+        node[parts[-1]] = value
+
+    # stage every leaf value once (one projection), then write roots from
+    # cheap attribute refs (same codegen-size rationale as with_path)
+    existing = {c.lower() for c in df.columns}
+    temps: dict[str, Column] = {}
+    ref_trees: dict[str, object] = {}
+    i = 0
+
+    def stage(value: Column) -> Column:
+        nonlocal i
+        while f"__wp{i}__" in existing:
+            i += 1
+        name = f"__wp{i}__"
+        i += 1
+        temps[name] = value
+        return F.col(name)
+
+    def refit(tree):
+        if isinstance(tree, dict):
+            return {k: refit(v) for k, v in tree.items()}
+        return stage(tree)
+
+    for root, tree in trees.items():
+        ref_trees[root] = refit(tree)
+    staged = df.withColumns(temps)
+
+    root_cols: dict[str, Column] = {}
+    for root, tree in ref_trees.items():
+        if not isinstance(tree, dict):
+            root_cols[root] = tree
+            continue
+        root_t = (df.schema[root].dataType
+                  if root in df.schema.fieldNames() else None)
+        if isinstance(root_t, T.StructType):
+            root_cols[root] = _set_tree(F.col(_quote(root)), root_t, tree)
+        else:
+            # fresh (or scalar-overwritten) root: NULL when every written
+            # value is NULL — the with_path fresh-root guard, multi-leaf
+            root_cols[root] = F.when(
+                _all_null(_leaf_values(tree)), F.lit(None)
+            ).otherwise(_fresh_tree(tree))
+    return staged.withColumns(root_cols).drop(*temps)
+
+
+def _with_paths_seq(df: DataFrame, updates: dict[str, Column]) -> DataFrame:
+    for p, v in updates.items():
+        df = with_path(df, p, v)
+    return df
+
+
 def drop_path(df: DataFrame, path: str) -> DataFrame:
     """Delete a field if present (no-op when missing, like Delete with
     ignore_missing)."""

@@ -26,7 +26,8 @@ from typing import Any, Callable
 from pyspark.sql import Column, DataFrame, functions as F
 
 from beats_spark.conditions import compile_condition
-from beats_spark.event import drop_path, get_path, has_path, with_path
+from beats_spark.event import (drop_path, get_path, has_path, with_path,
+                               with_paths)
 
 _cond_counter = itertools.count()
 
@@ -69,11 +70,17 @@ class Stage:
             )
 
         ups = self.updates(df)
-        for path, new in ups.items():
-            if cond is not None:
-                old = get_path(df, path) if has_path(df.schema, path) else F.lit(None)
-                new = F.when(cond, new).otherwise(old)
-            df = with_path(df, path, new)
+        if cond is not None:
+            ups = {
+                path: F.when(cond, new).otherwise(
+                    get_path(df, path) if has_path(df.schema, path)
+                    else F.lit(None))
+                for path, new in ups.items()
+            }
+        # one batched write: 3 eager plan analyses total instead of 3 per
+        # path (user_agent alone writes 7 paths — measured ~1 s of driver
+        # time per apply in the sequential form)
+        df = with_paths(df, ups)
         for path in self.drops(df):
             if cond is None:
                 df = drop_path(df, path)

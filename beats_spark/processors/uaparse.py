@@ -102,17 +102,23 @@ _OSES: list[tuple[str, str, int, str | None]] = [
 _UA_PROPS = {"name", "version", "os", "device", "original"}
 
 
-def _version_of(ua: Column, rx: str, n: int) -> Column:
+def _sql_str(s: str) -> str:
+    """SQL string literal (default parser: backslash IS an escape char)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _ver_sql(ua_ref: str, rx: str, n: int) -> str:
     """Join the non-empty version captures with '.' (regexp_extract yields
-    '' for optional groups that did not participate). concat_ws over
-    nullif-ed captures — deliberately NO higher-order functions: a lambda
-    per rule would be re-resolved by every downstream analysis walk and
-    blow up plan time when the stage sits inside a long module chain."""
+    '' for optional groups that did not participate). Deliberately NO
+    higher-order functions: a lambda per rule would be re-resolved by
+    every downstream analysis walk and blow up plan time when the stage
+    sits inside a long module chain."""
     if n == 0:
-        return F.lit(None).cast("string")
-    parts = [F.nullif(F.regexp_extract(ua, rx, i), F.lit(""))
-             for i in range(1, n + 1)]
-    return F.nullif(F.concat_ws(".", *parts), F.lit(""))
+        return "CAST(NULL AS STRING)"
+    parts = ", ".join(
+        f"NULLIF(regexp_extract({ua_ref}, {_sql_str(rx)}, {i}), '')"
+        for i in range(1, n + 1))
+    return f"NULLIF(CONCAT_WS('.', {parts}), '')"
 
 
 @register("user_agent")
@@ -141,21 +147,39 @@ def user_agent(cfg: dict[str, Any]) -> Stage:
                     return {}
                 raise ValueError(f"user_agent: missing field {fld!r}")
             ua = get_path(df, fld).cast("string")
+            # the big first-match-wins chains are emitted as SQL TEXT and
+            # parsed once by F.expr: building ~500 Column nodes through
+            # py4j cost ~1.2 s of driver time PER APPLY (measured r5) —
+            # the same rule-of-thumb as the minhash/simhash SQL-text
+            # rework (BENCH.md §3). CASE WHEN order = list order = the
+            # uap-core first-match-wins semantics.
+            ua_ref = ("CAST(" + ".".join(f"`{p}`" for p in fld.split("."))
+                      + " AS STRING)")
+            name = F.expr(
+                "CASE "
+                + " ".join(f"WHEN {ua_ref} RLIKE {_sql_str(rx)} "
+                           f"THEN {_sql_str(fam)}"
+                           for fam, rx, _ in _BROWSERS)
+                + f" WHEN {ua_ref} IS NOT NULL THEN 'Other' END")
+            version = F.expr(
+                "CASE "
+                + " ".join(f"WHEN {ua_ref} RLIKE {_sql_str(rx)} "
+                           f"THEN {_ver_sql(ua_ref, rx, n)}"
+                           for _, rx, n in _BROWSERS)
+                + " END")
 
-            name: Column = F.when(ua.isNotNull(), F.lit("Other"))
-            version: Column = F.lit(None).cast("string")
-            for fam, rx, n in reversed(_BROWSERS):
-                hit = ua.rlike(rx)
-                name = F.when(hit, F.lit(fam)).otherwise(name)
-                version = F.when(hit, _version_of(ua, rx, n)).otherwise(version)
+            def os_case(value_of) -> str:
+                return ("CASE "
+                        + " ".join(
+                            f"WHEN {ua_ref} RLIKE {_sql_str(rx)} "
+                            f"THEN {value_of(oname, rx, n, vlit)}"
+                            for oname, rx, n, vlit in _OSES)
+                        + " END")
 
-            os_name: Column = F.lit(None).cast("string")
-            os_ver: Column = F.lit(None).cast("string")
-            for oname, rx, n, vlit in reversed(_OSES):
-                hit = ua.rlike(rx)
-                ver = F.lit(vlit) if vlit else _version_of(ua, rx, n)
-                os_name = F.when(hit, F.lit(oname)).otherwise(os_name)
-                os_ver = F.when(hit, ver).otherwise(os_ver)
+            os_name = F.expr(os_case(lambda o, rx, n, v: _sql_str(o)))
+            os_ver = F.expr(os_case(
+                lambda o, rx, n, v: _sql_str(v) if v
+                else _ver_sql(ua_ref, rx, n)))
             os_full = F.when(
                 os_name.isNotNull(),
                 F.when(os_ver.isNotNull(),
@@ -164,14 +188,11 @@ def user_agent(cfg: dict[str, Any]) -> Stage:
 
             # classic "; <model> Build/" token, else the modern Chrome
             # Android shape "(Linux; Android 12; <model>)" which omits Build
-            model = F.coalesce(
-                F.when(F.regexp_extract(
-                    ua, r";\s*([^;)]+?)\s+Build[/ )]", 1) != "",
-                    F.regexp_extract(ua, r";\s*([^;)]+?)\s+Build[/ )]", 1)),
-                F.when(F.regexp_extract(
-                    ua, r"Android [\d.]+; ([^;)]+?)\)", 1) != "",
-                    F.regexp_extract(ua, r"Android [\d.]+; ([^;)]+?)\)", 1)),
-                F.lit(""))
+            rx1 = _sql_str(r";\s*([^;)]+?)\s+Build[/ )]")
+            rx2 = _sql_str(r"Android [\d.]+; ([^;)]+?)\)")
+            model = F.expr(
+                f"COALESCE(NULLIF(regexp_extract({ua_ref}, {rx1}, 1), ''), "
+                f"NULLIF(regexp_extract({ua_ref}, {rx2}, 1), ''), '')")
             device = (
                 F.when(name.isin(*sorted(_SPIDER_FAMILIES))
                        | ua.rlike(_SPIDER_RX), F.lit("Spider"))

@@ -200,9 +200,18 @@ def with_paths(df: DataFrame, updates: dict[str, Column]) -> DataFrame:
     eager ops PER path (measured ~0.15 s of driver time each on plans
     carrying large expression trees; user_agent writes 7 paths).
 
-    Value-equal to applying ``with_path`` per entry in dict order for
-    non-overlapping paths; when one update path is a prefix of another
-    (order-dependent) it falls back to exactly that sequential loop."""
+    Semantics notes:
+    - values are resolved against the INPUT frame (snapshot semantics); a
+      value that must read another entry's target should substitute that
+      entry's VALUE expression instead (see copy_fields' chaining) — the
+      sequential loop's read-your-writes by NAME is not reproduced;
+    - when one update path is a segment-prefix of another (inherently
+      order-dependent) this falls back to exactly the sequential loop;
+    - a subtree written with all-NULL values materializes as a struct of
+      NULLs when a sibling value is non-NULL (the sequential loop's result
+      for that corner depended on write ORDER; this is the normalized,
+      order-independent form). A root whose every written value is NULL
+      stays NULL, same as with_path."""
     if len(updates) <= 1:
         for p, v in updates.items():
             df = with_path(df, p, v)
@@ -230,8 +239,11 @@ def with_paths(df: DataFrame, updates: dict[str, Column]) -> DataFrame:
         node[parts[-1]] = value
 
     # stage every leaf value once (one projection), then write roots from
-    # cheap attribute refs (same codegen-size rationale as with_path)
-    existing = {c.lower() for c in df.columns}
+    # cheap attribute refs (same codegen-size rationale as with_path).
+    # Collision set includes the UPDATE TARGET roots: a user column
+    # literally named __wpN__ being written must not be claimed as a temp
+    # and then dropped (with_path's _tmp_name hardening, kept here)
+    existing = {c.lower() for c in df.columns} | {r.lower() for r in trees}
     temps: dict[str, Column] = {}
     ref_trees: dict[str, object] = {}
     i = 0

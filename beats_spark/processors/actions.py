@@ -143,16 +143,25 @@ def copy_fields(cfg: dict[str, Any]) -> Stage:
 
     class CopyFields(Stage):
         def updates(self, df: DataFrame) -> dict[str, Column]:
+            # the reference copies pairs SEQUENTIALLY per event, so a later
+            # pair may read an earlier pair's target; updates() values are
+            # resolved against the INPUT frame (with_paths snapshot
+            # semantics), so chain by substituting the earlier pair's
+            # VALUE expression instead of a by-name read
             out: dict[str, Column] = {}
             for p in pairs:
                 src, dst = p["from"], p["to"]
-                if not has_path(df.schema, src):
+                if src in out:
+                    v = out[src]
+                elif has_path(df.schema, src):
+                    v = get_path(df, src)
+                else:
                     if ignore_missing or not fail_on_error:
                         continue
                     raise ValueError(f"copy_fields: missing source field {src!r}")
-                if has_path(df.schema, dst) and fail_on_error:
+                if dst not in out and has_path(df.schema, dst) and fail_on_error:
                     raise ValueError(f"copy_fields: target {dst!r} already exists")
-                out[dst] = get_path(df, src)
+                out[dst] = v
             return out
 
     return CopyFields()

@@ -32,6 +32,19 @@ from beats_spark.event import (drop_path, get_path, has_path, with_path,
 _cond_counter = itertools.count()
 
 
+def _paths_overlap(updates: dict[str, "Column"]) -> bool:
+    """True when any update path is a segment-prefix of another (writes
+    then depend on application order)."""
+    paths = list(updates)
+    pref = {tuple(p.split(".")) for p in paths}
+    for p in paths:
+        parts = p.split(".")
+        for k in range(1, len(parts)):
+            if tuple(parts[:k]) in pref:
+                return True
+    return False
+
+
 class Stage:
     """Base processor stage. Subclasses override one shape."""
 
@@ -70,17 +83,28 @@ class Stage:
             )
 
         ups = self.updates(df)
-        if cond is not None:
-            ups = {
-                path: F.when(cond, new).otherwise(
-                    get_path(df, path) if has_path(df.schema, path)
-                    else F.lit(None))
-                for path, new in ups.items()
-            }
-        # one batched write: 3 eager plan analyses total instead of 3 per
-        # path (user_agent alone writes 7 paths — measured ~1 s of driver
-        # time per apply in the sequential form)
-        df = with_paths(df, ups)
+        if _paths_overlap(ups):
+            # one update path is a prefix of another: order-dependent —
+            # keep the exact sequential semantics, including per-write
+            # has_path against the EVOLVING schema for the cond fallback
+            for path, new in ups.items():
+                if cond is not None:
+                    old = (get_path(df, path) if has_path(df.schema, path)
+                           else F.lit(None))
+                    new = F.when(cond, new).otherwise(old)
+                df = with_path(df, path, new)
+        else:
+            if cond is not None:
+                ups = {
+                    path: F.when(cond, new).otherwise(
+                        get_path(df, path) if has_path(df.schema, path)
+                        else F.lit(None))
+                    for path, new in ups.items()
+                }
+            # one batched write: 3 eager plan analyses total instead of 3
+            # per path (user_agent alone writes 7 paths — measured ~1 s of
+            # driver time per apply in the sequential form)
+            df = with_paths(df, ups)
         for path in self.drops(df):
             if cond is None:
                 df = drop_path(df, path)

@@ -102,12 +102,18 @@ _OSES: list[tuple[str, str, int, str | None]] = [
 _UA_PROPS = {"name", "version", "os", "device", "original"}
 
 
-def _sql_str(s: str) -> str:
-    """SQL string literal (default parser: backslash IS an escape char)."""
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+def _sql_str(s: str, escaped_literals: bool = False) -> str:
+    """SQL string literal. Quotes double ('' parses in BOTH parser modes);
+    backslashes double only under the default parser, where backslash IS
+    an escape char — with spark.sql.parser.escapedStringLiterals=true
+    (Hive-style) a doubled backslash would corrupt every regex."""
+    body = s.replace("'", "''")
+    if not escaped_literals:
+        body = body.replace("\\", "\\\\")
+    return "'" + body + "'"
 
 
-def _ver_sql(ua_ref: str, rx: str, n: int) -> str:
+def _ver_sql(ua_ref: str, rx: str, n: int, esc: bool) -> str:
     """Join the non-empty version captures with '.' (regexp_extract yields
     '' for optional groups that did not participate). Deliberately NO
     higher-order functions: a lambda per rule would be re-resolved by
@@ -116,7 +122,7 @@ def _ver_sql(ua_ref: str, rx: str, n: int) -> str:
     if n == 0:
         return "CAST(NULL AS STRING)"
     parts = ", ".join(
-        f"NULLIF(regexp_extract({ua_ref}, {_sql_str(rx)}, {i}), '')"
+        f"NULLIF(regexp_extract({ua_ref}, {_sql_str(rx, esc)}, {i}), '')"
         for i in range(1, n + 1))
     return f"NULLIF(CONCAT_WS('.', {parts}), '')"
 
@@ -153,33 +159,38 @@ def user_agent(cfg: dict[str, Any]) -> Stage:
             # the same rule-of-thumb as the minhash/simhash SQL-text
             # rework (BENCH.md §3). CASE WHEN order = list order = the
             # uap-core first-match-wins semantics.
-            ua_ref = ("CAST(" + ".".join(f"`{p}`" for p in fld.split("."))
+            from beats_spark.event import _quote
+
+            esc = (df.sparkSession.conf.get(
+                "spark.sql.parser.escapedStringLiterals", "false")
+                .lower() == "true")
+            ua_ref = ("CAST(" + ".".join(_quote(p) for p in fld.split("."))
                       + " AS STRING)")
             name = F.expr(
                 "CASE "
-                + " ".join(f"WHEN {ua_ref} RLIKE {_sql_str(rx)} "
-                           f"THEN {_sql_str(fam)}"
+                + " ".join(f"WHEN {ua_ref} RLIKE {_sql_str(rx, esc)} "
+                           f"THEN {_sql_str(fam, esc)}"
                            for fam, rx, _ in _BROWSERS)
                 + f" WHEN {ua_ref} IS NOT NULL THEN 'Other' END")
             version = F.expr(
                 "CASE "
-                + " ".join(f"WHEN {ua_ref} RLIKE {_sql_str(rx)} "
-                           f"THEN {_ver_sql(ua_ref, rx, n)}"
+                + " ".join(f"WHEN {ua_ref} RLIKE {_sql_str(rx, esc)} "
+                           f"THEN {_ver_sql(ua_ref, rx, n, esc)}"
                            for _, rx, n in _BROWSERS)
                 + " END")
 
             def os_case(value_of) -> str:
                 return ("CASE "
                         + " ".join(
-                            f"WHEN {ua_ref} RLIKE {_sql_str(rx)} "
+                            f"WHEN {ua_ref} RLIKE {_sql_str(rx, esc)} "
                             f"THEN {value_of(oname, rx, n, vlit)}"
                             for oname, rx, n, vlit in _OSES)
                         + " END")
 
-            os_name = F.expr(os_case(lambda o, rx, n, v: _sql_str(o)))
+            os_name = F.expr(os_case(lambda o, rx, n, v: _sql_str(o, esc)))
             os_ver = F.expr(os_case(
-                lambda o, rx, n, v: _sql_str(v) if v
-                else _ver_sql(ua_ref, rx, n)))
+                lambda o, rx, n, v: _sql_str(v, esc) if v
+                else _ver_sql(ua_ref, rx, n, esc)))
             os_full = F.when(
                 os_name.isNotNull(),
                 F.when(os_ver.isNotNull(),
@@ -188,8 +199,8 @@ def user_agent(cfg: dict[str, Any]) -> Stage:
 
             # classic "; <model> Build/" token, else the modern Chrome
             # Android shape "(Linux; Android 12; <model>)" which omits Build
-            rx1 = _sql_str(r";\s*([^;)]+?)\s+Build[/ )]")
-            rx2 = _sql_str(r"Android [\d.]+; ([^;)]+?)\)")
+            rx1 = _sql_str(r";\s*([^;)]+?)\s+Build[/ )]", esc)
+            rx2 = _sql_str(r"Android [\d.]+; ([^;)]+?)\)", esc)
             model = F.expr(
                 f"COALESCE(NULLIF(regexp_extract({ua_ref}, {rx1}, 1), ''), "
                 f"NULLIF(regexp_extract({ua_ref}, {rx2}, 1), ''), '')")

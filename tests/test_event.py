@@ -95,3 +95,88 @@ def test_with_path_survives_user_column_named_like_staging(spark):
     row2 = with_path(df2, "a.b", F.lit("x")).collect()[0]
     assert row2["__WITH_PATH_VALUE__"] == "keep"
     assert row2["a"]["b"] == "x"
+
+
+# ---------------------------------------------------------------------------
+# with_paths (batched multi-path writes)
+
+def test_with_paths_matches_sequential_with_path(spark):
+    """Non-overlapping nested + flat updates: batched result row-equal to
+    the sequential with_path loop."""
+    from beats_spark.event import with_paths
+
+    df = spark.createDataFrame(
+        [("u1", 7, ("old",)), ("u2", None, None)],
+        "id string, n int, p struct<keep:string>")
+    ups = {
+        "flat": F.upper(F.col("id")),
+        "p.a": F.col("n").cast("string"),
+        "p.b.c": F.when(F.col("n").isNotNull(), F.lit("x")),
+        "q.z": F.col("n") * 2,
+    }
+    got = with_paths(df, dict(ups)).orderBy("id").collect()
+    want = df
+    for path, v in ups.items():
+        want = with_path(want, path, v)
+    want = want.orderBy("id").collect()
+    assert [r.asDict(True) for r in got] == [r.asDict(True) for r in want]
+    # pre-existing foreign struct field survives
+    assert got[0]["p"]["keep"] == "old"
+
+
+def test_with_paths_all_null_root_stays_null(spark):
+    from beats_spark.event import with_paths
+
+    df = spark.createDataFrame([(1,)], "n int")
+    out = with_paths(df, {"r.a": F.lit(None).cast("string"),
+                          "r.b": F.lit(None).cast("string"),
+                          "s": F.lit("x")}).collect()[0]
+    assert out["r"] is None       # every written value NULL → root NULL
+    assert out["s"] == "x"
+
+
+def test_with_paths_prefix_overlap_falls_back_sequential(spark):
+    """A root written both wholly and per-field is order-dependent — the
+    batched form must defer to the exact sequential loop."""
+    from beats_spark.event import with_paths
+
+    df = spark.createDataFrame([(1,)], "n int")
+    out = with_paths(df, {
+        "r": F.struct(F.lit("a").alias("a"), F.lit("b").alias("b")),
+        "r.a": F.lit("A"),
+    }).collect()[0]
+    assert out["r"].asDict() == {"a": "A", "b": "b"}
+
+
+def test_with_paths_temp_collision_with_target_and_column(spark):
+    """Targets or existing columns named like the internal __wpN__ temps
+    must neither be dropped nor clobbered."""
+    from beats_spark.event import with_paths
+
+    df = spark.createDataFrame([("keep", 1)], "__wp0__ string, n int")
+    out = with_paths(df, {"a.b": F.lit("x"),
+                          "c": F.lit("y")}).collect()[0]
+    assert out["__wp0__"] == "keep"
+    assert out["a"]["b"] == "x" and out["c"] == "y"
+    # a target literally named __wp0__ is written, not dropped
+    df2 = spark.createDataFrame([(1,)], "n int")
+    out2 = with_paths(df2, {"__wp0__": F.lit("v"),
+                            "x.y": F.lit("w")}).collect()[0]
+    assert out2["__wp0__"] == "v"
+    assert out2["x"]["y"] == "w"
+
+
+def test_copy_fields_chained_pairs_read_own_writes(spark):
+    """filebeat copies pairs sequentially per event: a later pair reading
+    an earlier pair's target gets the NEW value (chained driver-side since
+    with_paths values resolve against the input frame)."""
+    from beats_spark.processors import apply_chain, build_chain
+
+    df = spark.createDataFrame([("v", "stale")], "a string, b string")
+    out = apply_chain(df, build_chain([
+        {"copy_fields": {"fields": [{"from": "a", "to": "b"},
+                                    {"from": "b", "to": "c"}],
+                         "fail_on_error": False}},
+    ])).collect()[0]
+    assert out["b"] == "v"
+    assert out["c"] == "v"  # reads the copied b, not the stale one
